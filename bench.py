@@ -1,0 +1,120 @@
+"""Headline benchmark: CMLPL training throughput on a PaviaU-shaped scene.
+
+Runs the full semi-supervised CMLPL train step (dual BaseNet2, queues,
+contrastive graph, both optimizer updates fused in one jit) at the reference
+configuration (128 labeled + 128 unlabeled patches of 60x20x20 per step,
+train.py:355-380) on whatever accelerator JAX_PLATFORMS selects (the real
+TPU chip under the driver).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md); the
+denominator is a documented estimate of the reference's GPU throughput —
+256 patches/step at ~40 steps/s on the torch 1.8 single-GPU loop with
+per-step host->device copies (train.py:157-184) ≈ 10,000 patches/s.  The
+driver target is >= 10x that estimate.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+REF_GPU_PATCHES_PER_SEC_EST = 10_000.0
+
+# PaviaU dims (registry dataID 1): 610 x 340 x 103, 9 classes
+ROWS, COLS = 610, 340
+WARMUP_STEPS = 5
+TIMED_STEPS = 30
+
+
+def main() -> None:
+    from cmlpl_tpu.core.mesh import create_mesh
+    from cmlpl_tpu.data import (
+        SemiSupervisedSampler,
+        generate_splits,
+        prepare_scene,
+        synthetic_scene,
+    )
+    from cmlpl_tpu.eval import ScenePredictor
+    from cmlpl_tpu.registry import get_dataset
+    from cmlpl_tpu.train import CMLPLConfig, CMLPLTrainer
+
+    spec = get_dataset(1)  # PaviaU constants
+    cube, gt = synthetic_scene(spec, rows=ROWS, cols=COLS)
+    scene = prepare_scene(spec, cube=cube, gt=gt, patch_size=20, n_pc=60)
+    splits = generate_splits(scene.labels, num_label=5)
+
+    cfg = CMLPLConfig(num_classes=spec.num_classes,
+                      num_features=spec.num_bands)
+    sampler = SemiSupervisedSampler(splits, scene.labels,
+                                    cfg.labeled_batch, cfg.unlabeled_batch,
+                                    num_unlabel=cfg.num_unlabel)
+    mesh = create_mesh()
+    trainer = CMLPLTrainer(cfg, mesh=mesh)
+    state = trainer.init_state(jax.random.key(0))
+
+    batches = []
+    it = iter(sampler.epoch())
+    for _ in range(WARMUP_STEPS + TIMED_STEPS):
+        try:
+            batches.append(next(it))
+        except StopIteration:
+            it = iter(sampler.epoch())
+            batches.append(next(it))
+
+    # warmup (compile)
+    for i in range(WARMUP_STEPS):
+        li, ly, ui = batches[i]
+        state, metrics = trainer.train_step(state, scene, li, ly, ui,
+                                            epoch=1, batch_index=i)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for i in range(TIMED_STEPS):
+        li, ly, ui = batches[WARMUP_STEPS + i]
+        state, metrics = trainer.train_step(state, scene, li, ly, ui,
+                                            epoch=1, batch_index=i)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+    steps_per_sec = TIMED_STEPS / dt
+    patches_per_sec = steps_per_sec * (cfg.labeled_batch
+                                       + cfg.unlabeled_batch)
+    n_chips = jax.device_count()
+    pps_per_chip = patches_per_sec / n_chips
+
+    # full-scene inference latency (207,400 pixels), target < 5 s
+    model = trainer.model
+
+    def apply_b(params, xp, x):
+        return model.apply({"params": params}, xp, x, train=False)[0]
+
+    predictor = ScenePredictor(apply_b, patch_size=20, cols=scene.cols,
+                               tile=4096, mesh=mesh)
+    predictor(state.net_b.params, scene)  # compile
+    t0 = time.perf_counter()
+    pred = predictor(state.net_b.params, scene)
+    scene_sec = time.perf_counter() - t0
+    assert pred.shape[0] == ROWS * COLS
+
+    print(json.dumps({
+        "metric": "cmlpl_train_patches_per_sec_per_chip",
+        "value": round(pps_per_chip, 1),
+        "unit": "patches/s/chip",
+        "vs_baseline": round(pps_per_chip / REF_GPU_PATCHES_PER_SEC_EST, 3),
+        "extra": {
+            "steps_per_sec": round(steps_per_sec, 2),
+            "full_scene_paviau_sec": round(scene_sec, 3),
+            "full_scene_target_sec": 5.0,
+            "n_chips": n_chips,
+            "timed_steps": TIMED_STEPS,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

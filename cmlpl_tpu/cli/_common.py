@@ -1,0 +1,95 @@
+"""Shared CLI plumbing: argparse defaults mirroring the reference
+(``train.py:355-380``) and scene/split construction."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from cmlpl_tpu.data import (
+    SemiSupervisedSampler,
+    generate_splits,
+    prepare_scene,
+)
+from cmlpl_tpu.registry import get_dataset
+from cmlpl_tpu.train.state import CMLPLConfig
+
+
+def base_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataID", type=str, default="1")
+    p.add_argument("--num_label", type=int, default=5)
+    p.add_argument("--save_path_prefix", type=str, default="./")
+    p.add_argument("--data_root", type=str, default="./dataset")
+    # train (reference train.py:361-368)
+    p.add_argument("--labeled_batch_size", type=int, default=128)
+    p.add_argument("--unlabeled_batch_size", type=int, default=128)
+    p.add_argument("--val_batch_size", type=int, default=512)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--num_epochs", type=int, default=20)
+    p.add_argument("--print_per_batches", type=int, default=10)
+    p.add_argument("--num_unlabel", type=int, default=10000)
+    p.add_argument("--thr", type=float, default=1.0)
+    p.add_argument("--alpha", type=float, default=0.95)
+    p.add_argument("--queue-batch", dest="queue_batch", type=float,
+                   default=17)
+    p.add_argument("--temperature", type=float, default=0.3)
+    # network (train.py:376-379)
+    p.add_argument("--dropout", type=float, default=0.8)
+    p.add_argument("--noise", type=float, default=0.5)
+    p.add_argument("--w", type=int, default=20)
+    p.add_argument("--n_PC", type=int, default=60)
+    p.add_argument("--seed", type=int, default=1088)
+    p.add_argument("--checkpoint_dir", type=str, default=None)
+    return p
+
+
+def build_config(args, spec) -> CMLPLConfig:
+    return CMLPLConfig(
+        num_classes=spec.num_classes,
+        num_features=spec.num_bands,
+        n_pc=args.n_PC,
+        patch_size=args.w,
+        labeled_batch=args.labeled_batch_size,
+        unlabeled_batch=args.unlabeled_batch_size,
+        val_batch=args.val_batch_size,
+        lr=args.lr,
+        num_epochs=args.num_epochs,
+        num_unlabel=args.num_unlabel,
+        thr=args.thr,
+        alpha=args.alpha,
+        queue_batch=int(args.queue_batch),
+        temperature=args.temperature,
+        dropout=args.dropout,
+        noise=args.noise,
+        seed=args.seed,
+    )
+
+
+def build_data(args):
+    spec = get_dataset(args.dataID)
+    scene = prepare_scene(spec, root=args.data_root, patch_size=args.w,
+                          n_pc=args.n_PC)
+    splits = generate_splits(scene.labels, num_label=args.num_label)
+    sampler = SemiSupervisedSampler(
+        splits, scene.labels, args.labeled_batch_size,
+        args.unlabeled_batch_size, num_unlabel=args.num_unlabel,
+        seed=args.seed)
+    return spec, scene, splits, sampler
+
+
+def save_path(args, spec) -> str:
+    path = os.path.join(
+        args.save_path_prefix, f"Experiment_{spec.data_id}",
+        f"label_{args.num_label}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def report_accuracy(name: str, acc) -> None:
+    print(f"Result ({name}):\n OA={acc.oa * 100:.2f}, "
+          f"Kappa={acc.kappa * 100:.2f}")
+    print("producerA:", np.array2string(acc.producer * 100, precision=2))
+    print(f"AA={acc.aa * 100:.2f}")

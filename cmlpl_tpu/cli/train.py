@@ -1,0 +1,71 @@
+"""CMLPL training CLI (reference ``train.py``): semi-supervised dual-network
+training, full-scene inference, OA/AA/Kappa report, class map, CSV."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from cmlpl_tpu.cli._common import (
+    base_parser,
+    build_config,
+    build_data,
+    report_accuracy,
+    save_path,
+)
+from cmlpl_tpu.core.mesh import create_mesh
+from cmlpl_tpu.core.rng import seed_everything
+from cmlpl_tpu.eval import ScenePredictor, cal_accuracy, save_report
+from cmlpl_tpu.eval.visualize import save_class_map
+from cmlpl_tpu.train import CMLPLTrainer
+
+
+def main(argv=None):
+    args = base_parser().parse_args(argv)
+    spec, scene, splits, sampler = build_data(args)
+    cfg = build_config(args, spec)
+    mesh = create_mesh()
+
+    rng = seed_everything(args.seed)
+    trainer = CMLPLTrainer(cfg, mesh=mesh)
+    state = trainer.init_state(rng)
+    state, _ = trainer.fit(state, scene, sampler,
+                           log_every=args.print_per_batches)
+
+    model = trainer.model
+
+    def apply_b(params, xp, x):
+        return model.apply({"params": params}, xp, x, train=False)[0]
+
+    predictor = ScenePredictor(apply_b, patch_size=cfg.patch_size,
+                               cols=scene.cols, tile=cfg.val_batch,
+                               mesh=mesh)
+    t0 = time.time()
+    pred_b = predictor(state.net_b.params, scene)
+    print(f"full-scene inference time == {time.time() - t0:.3f}s")
+    pred_e = predictor(state.net_e.params, scene)
+
+    y_test = scene.labels[splits.test] - 1
+    acc_b = cal_accuracy(pred_b[splits.test], y_test)
+    acc_e = cal_accuracy(pred_e[splits.test], y_test)
+    report_accuracy("net B", acc_b)
+    report_accuracy("net E", acc_e)
+
+    out = save_path(args, spec)
+    save_class_map(
+        os.path.join(out, f"CMLPL_OA_{int(acc_b.oa * 10000)}.svg"),
+        pred_b + 1, spec, rows=scene.rows, cols=scene.cols)
+    save_report(os.path.join(out, "cmlpl_results.csv"), [acc_b], [acc_e])
+
+    if args.checkpoint_dir:
+        from cmlpl_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(args.checkpoint_dir, state)
+    return acc_b, acc_e
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+"""CCT trainer — Cross-Consistency Training baseline
+(reference ``trian_CCT.py``).
+
+One CCT_Net encoder + three linear decoder heads (trian_CCT.py:143-151).
+Unlabeled features get two Gaussian feature-space perturbations
+(trian_CCT.py:205-206); a 4-way symmetric JS consistency ties the perturbed
+decoders to the clean decoder (trian_CCT.py:211-215).
+
+The reference runs one backward and then steps *two* Adam optimizers with
+overlapping encoder parameters (trian_CCT.py:161-162, :221-223) — the
+encoder receives two Adam updates from the same gradients with separate
+moment state.  Reproduced exactly: two optax.adam states over the
+(encoder, decoder_base) and (encoder, decoder1, decoder2) subsets; both
+encoder updates are applied (they add — Adam's update depends only on the
+gradient moments, not the current value).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cmlpl_tpu.data.patches import gather_spectra
+from cmlpl_tpu.data.prep import PreparedScene
+from cmlpl_tpu.models.basenet import CCTNet, LinearClassifier
+from cmlpl_tpu.objectives.cct import softmax_js_loss
+from cmlpl_tpu.objectives.supervised import cross_entropy
+from cmlpl_tpu.train.cmlpl import _gather_patches_local
+from cmlpl_tpu.train.state import CMLPLConfig
+
+
+class CCTTrainState(NamedTuple):
+    params: dict          # {"encoder", "dec_base", "dec1", "dec2"}
+    opt_base: optax.OptState   # over (encoder, dec_base)
+    opt_aug: optax.OptState    # over (encoder, dec1, dec2)
+    rng: jax.Array
+    step: jax.Array
+
+
+class CCTTrainer:
+    def __init__(self, config: CMLPLConfig, mesh: Mesh | None = None,
+                 donate: bool = True):
+        """``donate=False`` keeps input state buffers alive (useful in
+        tests that inspect the pre-step state; training loops should
+        donate for buffer reuse)."""
+        self.config = config
+        self.mesh = mesh
+        self._donate = (0,) if donate else ()
+        self.encoder = CCTNet(
+            num_features=config.num_features, dropout=config.dropout,
+            num_classes=config.num_classes, n_pc=config.n_pc)
+        joint = 64 * (config.patch_size // 4) ** 2 + 1024
+        self.head = LinearClassifier(config.num_classes, in_features=joint)
+        self.opt_base = optax.adam(config.lr)
+        self.opt_aug = optax.adam(config.lr)
+        self._step_fn = self._build_step()
+
+    def init_state(self, rng: jax.Array) -> CCTTrainState:
+        cfg = self.config
+        ks = jax.random.split(rng, 5)
+        xp = jnp.zeros((1, cfg.patch_size, cfg.patch_size, cfg.n_pc))
+        x = jnp.zeros((1, cfg.num_features))
+        enc = self.encoder.init(ks[0], xp, x, train=False)["params"]
+        fea = jnp.zeros((1, self.head.in_features))
+        params = {
+            "encoder": enc,
+            "dec_base": self.head.init(ks[1], fea)["params"],
+            "dec1": self.head.init(ks[2], fea)["params"],
+            "dec2": self.head.init(ks[3], fea)["params"],
+        }
+        state = CCTTrainState(
+            params=params,
+            opt_base=self.opt_base.init(
+                {"encoder": params["encoder"],
+                 "dec_base": params["dec_base"]}),
+            opt_aug=self.opt_aug.init(
+                {"encoder": params["encoder"], "dec1": params["dec1"],
+                 "dec2": params["dec2"]}),
+            rng=ks[4], step=jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        return state
+
+    def _build_step(self):
+        cfg = self.config
+        encoder = self.encoder
+        head = self.head
+
+        def step(state: CCTTrainState, padded, spectra, lab_idx, lab_y,
+                 unl_idx, cols: int) -> Tuple[CCTTrainState, dict]:
+            w = cfg.patch_size
+            bt = lab_idx.shape[0]
+            rng, k_noise, k_drop = jax.random.split(state.rng, 3)
+            nk = jax.random.split(k_noise, 6)
+
+            xp_l = _gather_patches_local(padded, lab_idx, cols, w)
+            x_l = gather_spectra(spectra, lab_idx)
+            xp_u = _gather_patches_local(padded, unl_idx, cols, w)
+            x_u = gather_spectra(spectra, unl_idx)
+
+            def noisy(k, a, scale=cfg.noise):
+                return a + jax.random.normal(k, a.shape, a.dtype) * scale
+
+            # trian_CCT.py:179-197: noisy labeled inputs, noisy unlabeled
+            xp_all = jnp.concatenate([noisy(nk[0], xp_l),
+                                      noisy(nk[1], xp_u)], axis=0)
+            x_all = jnp.concatenate([noisy(nk[2], x_l),
+                                     noisy(nk[3], x_u)], axis=0)
+
+            def loss_fn(params):
+                fea_all, _ = encoder.apply(
+                    {"params": params["encoder"]}, xp_all, x_all,
+                    train=True, rngs={"dropout": k_drop})
+                fea_lab, fea_un = fea_all[:bt], fea_all[bt:]
+
+                lab_out = head.apply({"params": params["dec_base"]}, fea_lab)
+                cls = cross_entropy(lab_out, lab_y)
+
+                # feature-space perturbations (trian_CCT.py:205-206)
+                fea_aug1 = noisy(nk[4], fea_un)
+                fea_aug2 = noisy(nk[5], fea_un)
+                origin_out = head.apply({"params": params["dec_base"]},
+                                        fea_un)
+                aug_out1 = head.apply({"params": params["dec1"]}, fea_aug1)
+                aug_out2 = head.apply({"params": params["dec2"]}, fea_aug2)
+
+                ori_t = jax.nn.softmax(jax.lax.stop_gradient(origin_out), 1)
+                t1 = jax.nn.softmax(jax.lax.stop_gradient(aug_out1), 1)
+                t2 = jax.nn.softmax(jax.lax.stop_gradient(aug_out2), 1)
+
+                total = (cls
+                         + softmax_js_loss(origin_out, t1)
+                         + softmax_js_loss(origin_out, t2)
+                         + softmax_js_loss(aug_out1, ori_t)
+                         + softmax_js_loss(aug_out2, ori_t))
+                acc = jnp.mean((jnp.argmax(lab_out, 1) == lab_y)
+                               .astype(jnp.float32))
+                return total, {"total_loss": total, "cls_loss": cls,
+                               "acc": acc}
+
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+
+            g_base = {"encoder": grads["encoder"],
+                      "dec_base": grads["dec_base"]}
+            g_aug = {"encoder": grads["encoder"], "dec1": grads["dec1"],
+                     "dec2": grads["dec2"]}
+            upd_base, opt_base = self.opt_base.update(g_base, state.opt_base)
+            upd_aug, opt_aug = self.opt_aug.update(g_aug, state.opt_aug)
+
+            p = state.params
+            enc = optax.apply_updates(p["encoder"], upd_base["encoder"])
+            enc = optax.apply_updates(enc, upd_aug["encoder"])
+            new_params = {
+                "encoder": enc,
+                "dec_base": optax.apply_updates(p["dec_base"],
+                                                upd_base["dec_base"]),
+                "dec1": optax.apply_updates(p["dec1"], upd_aug["dec1"]),
+                "dec2": optax.apply_updates(p["dec2"], upd_aug["dec2"]),
+            }
+            return CCTTrainState(new_params, opt_base, opt_aug, rng,
+                                 state.step + 1), metrics
+
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            batch_sh = NamedSharding(self.mesh, P("data"))
+            return jax.jit(step, static_argnums=(6,),
+                           in_shardings=(repl, repl, repl, batch_sh,
+                                         batch_sh, batch_sh),
+                           out_shardings=(repl, repl),
+                           donate_argnums=self._donate)
+        return jax.jit(step, static_argnums=(6,), donate_argnums=self._donate)
+
+    def train_step(self, state, scene: PreparedScene, lab_idx, lab_y,
+                   unl_idx):
+        return self._step_fn(
+            state, scene.padded_pca, scene.spectra,
+            jnp.asarray(lab_idx), jnp.asarray(lab_y), jnp.asarray(unl_idx),
+            scene.cols)
+
+    def fit(self, state, scene, sampler, *, log_every: int = 10,
+            log_fn=print):
+        cfg = self.config
+        history = []
+        for epoch in range(cfg.num_epochs):
+            for batch_index, (li, ly, ui) in enumerate(sampler.epoch()):
+                state, metrics = self.train_step(state, scene, li, ly, ui)
+                history.append(metrics)
+                if log_every and (batch_index + 1) % log_every == 0:
+                    m = jax.device_get(metrics)
+                    log_fn(f"Epoch {epoch + 1}/{cfg.num_epochs}: "
+                           f"{batch_index + 1}/{sampler.batches_per_epoch} "
+                           f"total_loss={float(m['total_loss']):.4f} "
+                           f"cls_loss={float(m['cls_loss']):.4f} "
+                           f"acc={float(m['acc']) * 100:.2f}")
+        return state, history

@@ -1,0 +1,282 @@
+"""CMLPL trainer — the paper's algorithm as one fused, jitted train step.
+
+Reference: the hot loop at ``train.py:146-289``.  Differences that make it
+TPU-native (behaviour-preserving):
+
+- **One XLA graph per step.**  The reference runs two separate backwards
+  (train.py:267, :271); because every cross-network term is ``detach()``'d,
+  gradients over the concatenated parameter pair are identical, so we take
+  ``jax.grad`` once over both networks and apply two optimizer updates in
+  the same graph.
+- **Batches are pixel indices.**  Patch/spectrum gathering, Gaussian noise
+  views, the queue smoothing, and both optimizer updates all happen on
+  device; the host sends 2x128 int32 per step instead of eight
+  (128, 60, 20, 20) tensors (train.py:157-184).
+- **Queues are functional state** (see objectives/queue.py).
+- **Data parallel for free**: the step is jitted with batch indices sharded
+  over the mesh's ``data`` axis and everything else replicated; XLA/GSPMD
+  inserts the gradient reductions and the all-gathers needed by the global
+  128x128 similarity/graph matrices over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cmlpl_tpu.data.patches import gather_spectra
+from cmlpl_tpu.data.prep import PreparedScene
+from cmlpl_tpu.models.basenet import BaseNet2
+from cmlpl_tpu.objectives.cmlpl import (
+    adaptive_threshold,
+    graph_contrastive,
+    pseudo_label_graph,
+    soft_consistency,
+)
+from cmlpl_tpu.objectives.queue import memory_smooth, queue_init, queue_update
+from cmlpl_tpu.objectives.supervised import cross_entropy
+from cmlpl_tpu.train.state import CMLPLConfig, CMLPLTrainState, NetState
+
+
+def _gather_patches_local(padded, pixel_idx, cols, w):
+    """Patch gather inlined (unjitted) so it fuses into the train step."""
+    r = pixel_idx // cols
+    c = pixel_idx % cols
+
+    def one(ri, ci):
+        return lax.dynamic_slice(padded, (ri, ci, 0),
+                                 (w, w, padded.shape[-1]))
+
+    return jax.vmap(one)(r, c)
+
+
+class CMLPLTrainer:
+    """Builds and drives the fused CMLPL train step."""
+
+    def __init__(self, config: CMLPLConfig, mesh: Mesh | None = None,
+                 donate: bool = True):
+        """``donate=False`` keeps input state buffers alive (useful in
+        tests that inspect the pre-step state; training loops should
+        donate for buffer reuse)."""
+        self.config = config
+        self.mesh = mesh
+        self._donate = (0,) if donate else ()
+        self.model = BaseNet2(
+            num_features=config.num_features, dropout=config.dropout,
+            num_classes=config.num_classes, n_pc=config.n_pc)
+        self.optimizer = optax.adam(config.lr)  # torch Adam defaults match
+        self._step_fn = self._build_step()
+
+    # ------------------------------------------------------------------ #
+    def init_state(self, rng: jax.Array) -> CMLPLTrainState:
+        cfg = self.config
+        k_b, k_e, k_run = jax.random.split(rng, 3)
+        xp = jnp.zeros((1, cfg.patch_size, cfg.patch_size, cfg.n_pc))
+        x = jnp.zeros((1, cfg.num_features))
+        params_b = self.model.init(k_b, xp, x, train=False)["params"]
+        params_e = self.model.init(k_e, xp, x, train=False)["params"]
+        state = CMLPLTrainState(
+            net_b=NetState(params_b, self.optimizer.init(params_b)),
+            net_e=NetState(params_e, self.optimizer.init(params_e)),
+            queue_w=queue_init(cfg.queue_size, cfg.feat_dim, cfg.num_classes),
+            queue_s=queue_init(cfg.queue_size, cfg.feat_dim, cfg.num_classes),
+            rng=k_run,
+            step=jnp.zeros((), jnp.int32),
+        )
+        if self.mesh is not None:
+            state = jax.device_put(
+                state, NamedSharding(self.mesh, P()))
+        return state
+
+    # ------------------------------------------------------------------ #
+    def _build_step(self):
+        cfg = self.config
+        model = self.model
+        optimizer = self.optimizer
+
+        def apply_net(params, xp, x, drop_rng):
+            return model.apply({"params": params}, xp, x, train=True,
+                               rngs={"dropout": drop_rng})
+
+        def step(state: CMLPLTrainState, padded, spectra, lab_idx, lab_y,
+                 unl_idx, adap_mask_thr, warm,
+                 cols: int) -> Tuple[CMLPLTrainState, dict]:
+            w = cfg.patch_size
+            bt = lab_idx.shape[0]
+
+            rng, k_noise, k_drop_b, k_drop_e = jax.random.split(state.rng, 4)
+            nk = jax.random.split(k_noise, 8)
+
+            # on-device gather (train.py:156-167 did host->device copies)
+            xp_l = _gather_patches_local(padded, lab_idx, cols, w)
+            x_l = gather_spectra(spectra, lab_idx)
+            xp_u = _gather_patches_local(padded, unl_idx, cols, w)
+            x_u = gather_spectra(spectra, unl_idx)
+
+            def noisy(k, a):
+                return a + jax.random.normal(k, a.shape, a.dtype) * cfg.noise
+
+            # independent Gaussian views per net (train.py:157-184)
+            xp_b_all = jnp.concatenate([noisy(nk[0], xp_l),
+                                        noisy(nk[1], xp_u)], axis=0)
+            x_b_all = jnp.concatenate([noisy(nk[2], x_l),
+                                       noisy(nk[3], x_u)], axis=0)
+            xp_e_all = jnp.concatenate([noisy(nk[4], xp_l),
+                                        noisy(nk[5], xp_u)], axis=0)
+            x_e_all = jnp.concatenate([noisy(nk[6], x_l),
+                                       noisy(nk[7], x_u)], axis=0)
+
+            onehot = jax.nn.one_hot(lab_y, cfg.num_classes,
+                                    dtype=jnp.float32)
+
+            def loss_fn(params_pair):
+                params_b, params_e = params_pair
+                logits_b_all, feat_b_all = apply_net(
+                    params_b, xp_b_all, x_b_all, k_drop_b)
+                logits_e_all, feat_e_all = apply_net(
+                    params_e, xp_e_all, x_e_all, k_drop_e)
+
+                lab_b, un_b = logits_b_all[:bt], logits_b_all[bt:]
+                feat_lab_b, xs = feat_b_all[:bt], feat_b_all[bt:]
+                lab_e, un_e = logits_e_all[:bt], logits_e_all[bt:]
+                feat_lab_e, xw = feat_e_all[:bt], feat_e_all[bt:]
+
+                cls_b = cross_entropy(lab_b, lab_y)
+                cls_e = cross_entropy(lab_e, lab_y)
+
+                # ---- no-grad block (train.py:195-237) ----
+                probs_orig = jax.nn.softmax(lax.stop_gradient(un_e), axis=1)
+                probs_orig1 = jax.nn.softmax(lax.stop_gradient(un_b), axis=1)
+                smoothed_w = memory_smooth(
+                    lax.stop_gradient(xw), probs_orig, state.queue_w,
+                    cfg.alpha, cfg.temperature)
+                smoothed_s = memory_smooth(
+                    lax.stop_gradient(xs), probs_orig1, state.queue_s,
+                    cfg.alpha, cfg.temperature)
+                probs = jnp.where(warm, smoothed_w, probs_orig)
+                probs1 = jnp.where(warm, smoothed_s, probs_orig1)
+
+                mask = (jnp.max(probs, axis=1)
+                        >= adap_mask_thr).astype(jnp.float32)
+                masks = (jnp.max(probs1, axis=1)
+                         >= adap_mask_thr).astype(jnp.float32)
+
+                # queue writes: [other-net unlabeled feats, own labeled
+                # feats] with pre-smoothing probs / one-hot labels
+                # (train.py:223-237)
+                new_queue_w = queue_update(
+                    state.queue_w,
+                    jnp.concatenate([lax.stop_gradient(xw),
+                                     lax.stop_gradient(feat_lab_b)], axis=0),
+                    jnp.concatenate([probs_orig, onehot], axis=0))
+                new_queue_s = queue_update(
+                    state.queue_s,
+                    jnp.concatenate([lax.stop_gradient(xs),
+                                     lax.stop_gradient(feat_lab_e)], axis=0),
+                    jnp.concatenate([probs_orig1, onehot], axis=0))
+
+                # ---- consistency (train.py:239-242) ----
+                con_b = soft_consistency(un_b, probs, mask)
+                con_e = soft_consistency(un_e, probs1, masks)
+
+                # ---- contrastive pseudo-label graph (train.py:243-265) --
+                q, qn = pseudo_label_graph(probs1, probs)
+                contrast_b = graph_contrastive(
+                    xs, lax.stop_gradient(xw), q, qn, cfg.temperature)
+                contrast_e = graph_contrastive(
+                    lax.stop_gradient(xs), xw, q, qn, cfg.temperature)
+
+                total_b = (cls_b + cfg.w_contrast * contrast_b
+                           + cfg.w_consistency * con_b)
+                total_e = (cls_e + cfg.w_contrast * contrast_e
+                           + cfg.w_consistency * con_e)
+
+                acc_e = jnp.mean(
+                    (jnp.argmax(lab_e, axis=1) == lab_y).astype(jnp.float32))
+                metrics = {
+                    "loss_contrast": contrast_b,
+                    "total_loss": total_b,
+                    "cls_loss": cls_b,
+                    "con_loss": con_b,
+                    "total_loss_e": total_e,
+                    "acc": acc_e,
+                    "mask_rate": jnp.mean(mask),
+                }
+                return total_b + total_e, (new_queue_w, new_queue_s, metrics)
+
+            grads, (new_queue_w, new_queue_s, metrics) = jax.grad(
+                loss_fn, has_aux=True)((state.net_b.params,
+                                        state.net_e.params))
+            g_b, g_e = grads
+            upd_b, opt_b = optimizer.update(g_b, state.net_b.opt_state,
+                                            state.net_b.params)
+            upd_e, opt_e = optimizer.update(g_e, state.net_e.opt_state,
+                                            state.net_e.params)
+            new_state = CMLPLTrainState(
+                net_b=NetState(optax.apply_updates(state.net_b.params,
+                                                   upd_b), opt_b),
+                net_e=NetState(optax.apply_updates(state.net_e.params,
+                                                   upd_e), opt_e),
+                queue_w=new_queue_w,
+                queue_s=new_queue_s,
+                rng=rng,
+                step=state.step + 1,
+            )
+            return new_state, metrics
+
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            batch_sh = NamedSharding(self.mesh, P("data"))
+            return jax.jit(
+                step,
+                static_argnums=(8,),
+                in_shardings=(repl, repl, repl, batch_sh, batch_sh,
+                              batch_sh, repl, repl),
+                out_shardings=(repl, repl),
+                donate_argnums=self._donate,
+            )
+        return jax.jit(step, static_argnums=(8,), donate_argnums=self._donate)
+
+    # ------------------------------------------------------------------ #
+    def train_step(self, state, scene: PreparedScene, lab_idx, lab_y,
+                   unl_idx, epoch: int, batch_index: int):
+        """One optimisation step.  ``epoch``/``batch_index`` drive the
+        adaptive threshold (train.py:147-148) and queue warmup
+        (train.py:212)."""
+        cfg = self.config
+        adap = float(np.exp(-0.5 * (epoch / cfg.num_epochs) ** 2)) * cfg.thr
+        warm = bool(epoch > 0 or batch_index > cfg.queue_batch)
+        return self._step_fn(
+            state, scene.padded_pca, scene.spectra,
+            jnp.asarray(lab_idx), jnp.asarray(lab_y), jnp.asarray(unl_idx),
+            jnp.float32(adap), jnp.asarray(warm), scene.cols)
+
+    # ------------------------------------------------------------------ #
+    def fit(self, state, scene: PreparedScene, sampler, *,
+            log_every: int = 10, log_fn=print):
+        """Epoch driver (train.py:146-289)."""
+        cfg = self.config
+        history = []
+        for epoch in range(cfg.num_epochs):
+            for batch_index, (li, ly, ui) in enumerate(sampler.epoch()):
+                state, metrics = self.train_step(
+                    state, scene, li, ly, ui, epoch, batch_index)
+                history.append(metrics)
+                if log_every and (batch_index + 1) % log_every == 0:
+                    m = jax.device_get(metrics)
+                    log_fn(
+                        f"Epoch {epoch + 1}/{cfg.num_epochs}: "
+                        f"{batch_index + 1}/{sampler.batches_per_epoch} "
+                        f"loss_contrast={float(m['loss_contrast']):.2f} "
+                        f"total_loss={float(m['total_loss']):.4f} "
+                        f"cls_loss={float(m['cls_loss']):.4f} "
+                        f"con_loss={float(m['con_loss']):.4f} "
+                        f"acc={float(m['acc']) * 100:.2f}")
+        return state, history

@@ -1,0 +1,170 @@
+"""CPS trainer — Cross Pseudo Supervision baseline
+(reference ``trian_CPS.py``).
+
+Same dual-BaseNet2 skeleton as CMLPL, but unlabeled supervision is the
+hard-pseudo-label cross term with weight 0.1 (trian_CPS.py:238-249); there
+are no queues and no contrastive graph.  The reference also constructs two
+frozen "Ensemble" copies it never uses (trian_CPS.py:136-173) — omitted.
+The reference's `regularizer` import is missing from its repo (the script
+crashes as shipped); the MMD capability it wanted lives in
+:mod:`cmlpl_tpu.objectives.mmd`.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cmlpl_tpu.data.patches import gather_spectra
+from cmlpl_tpu.data.prep import PreparedScene
+from cmlpl_tpu.models.basenet import BaseNet2
+from cmlpl_tpu.objectives.cps import cps_cross_supervision
+from cmlpl_tpu.objectives.supervised import cross_entropy
+from cmlpl_tpu.train.cmlpl import _gather_patches_local
+from cmlpl_tpu.train.state import CMLPLConfig, NetState
+
+from typing import NamedTuple
+
+
+class CPSTrainState(NamedTuple):
+    net_b: NetState
+    net_e: NetState
+    rng: jax.Array
+    step: jax.Array
+
+
+class CPSTrainer:
+    """Fused CPS train step (trian_CPS.py:179-250)."""
+
+    CROSS_WEIGHT = 0.1  # trian_CPS.py:245, :248
+
+    def __init__(self, config: CMLPLConfig, mesh: Mesh | None = None,
+                 donate: bool = True):
+        """``donate=False`` keeps input state buffers alive (useful in
+        tests that inspect the pre-step state; training loops should
+        donate for buffer reuse)."""
+        self.config = config
+        self.mesh = mesh
+        self._donate = (0,) if donate else ()
+        self.model = BaseNet2(
+            num_features=config.num_features, dropout=config.dropout,
+            num_classes=config.num_classes, n_pc=config.n_pc)
+        self.optimizer = optax.adam(config.lr)
+        self._step_fn = self._build_step()
+
+    def init_state(self, rng: jax.Array) -> CPSTrainState:
+        cfg = self.config
+        k_b, k_e, k_run = jax.random.split(rng, 3)
+        xp = jnp.zeros((1, cfg.patch_size, cfg.patch_size, cfg.n_pc))
+        x = jnp.zeros((1, cfg.num_features))
+        params_b = self.model.init(k_b, xp, x, train=False)["params"]
+        params_e = self.model.init(k_e, xp, x, train=False)["params"]
+        state = CPSTrainState(
+            net_b=NetState(params_b, self.optimizer.init(params_b)),
+            net_e=NetState(params_e, self.optimizer.init(params_e)),
+            rng=k_run, step=jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        return state
+
+    def _build_step(self):
+        cfg = self.config
+        model = self.model
+        optimizer = self.optimizer
+
+        def apply_net(params, xp, x, drop_rng):
+            return model.apply({"params": params}, xp, x, train=True,
+                               rngs={"dropout": drop_rng})
+
+        def step(state: CPSTrainState, padded, spectra, lab_idx, lab_y,
+                 unl_idx, cols: int) -> Tuple[CPSTrainState, dict]:
+            w = cfg.patch_size
+            bt = lab_idx.shape[0]
+            rng, k_noise, k_db, k_de = jax.random.split(state.rng, 4)
+            nk = jax.random.split(k_noise, 8)
+
+            xp_l = _gather_patches_local(padded, lab_idx, cols, w)
+            x_l = gather_spectra(spectra, lab_idx)
+            xp_u = _gather_patches_local(padded, unl_idx, cols, w)
+            x_u = gather_spectra(spectra, unl_idx)
+
+            def noisy(k, a):
+                return a + jax.random.normal(k, a.shape, a.dtype) * cfg.noise
+
+            xp_b = jnp.concatenate([noisy(nk[0], xp_l),
+                                    noisy(nk[1], xp_u)], axis=0)
+            x_b = jnp.concatenate([noisy(nk[2], x_l),
+                                   noisy(nk[3], x_u)], axis=0)
+            xp_e = jnp.concatenate([noisy(nk[4], xp_l),
+                                    noisy(nk[5], xp_u)], axis=0)
+            x_e = jnp.concatenate([noisy(nk[6], x_l),
+                                   noisy(nk[7], x_u)], axis=0)
+
+            def loss_fn(params_pair):
+                params_b, params_e = params_pair
+                logits_b, _ = apply_net(params_b, xp_b, x_b, k_db)
+                logits_e, _ = apply_net(params_e, xp_e, x_e, k_de)
+                lab_b, un_b = logits_b[:bt], logits_b[bt:]
+                lab_e, un_e = logits_e[:bt], logits_e[bt:]
+                cls_b = cross_entropy(lab_b, lab_y)
+                cls_e = cross_entropy(lab_e, lab_y)
+                cross_b = cps_cross_supervision(un_b, un_e)
+                cross_e = cps_cross_supervision(un_e, un_b)
+                total_b = cls_b + self.CROSS_WEIGHT * cross_b
+                total_e = cls_e + self.CROSS_WEIGHT * cross_e
+                acc_e = jnp.mean(
+                    (jnp.argmax(lab_e, axis=1) == lab_y).astype(jnp.float32))
+                metrics = {"total_loss": total_b, "cls_loss": cls_b,
+                           "con_loss": cross_b, "acc": acc_e}
+                return total_b + total_e, metrics
+
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                (state.net_b.params, state.net_e.params))
+            g_b, g_e = grads
+            upd_b, opt_b = optimizer.update(g_b, state.net_b.opt_state)
+            upd_e, opt_e = optimizer.update(g_e, state.net_e.opt_state)
+            return CPSTrainState(
+                net_b=NetState(optax.apply_updates(state.net_b.params,
+                                                   upd_b), opt_b),
+                net_e=NetState(optax.apply_updates(state.net_e.params,
+                                                   upd_e), opt_e),
+                rng=rng, step=state.step + 1), metrics
+
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            batch_sh = NamedSharding(self.mesh, P("data"))
+            return jax.jit(step, static_argnums=(6,),
+                           in_shardings=(repl, repl, repl, batch_sh,
+                                         batch_sh, batch_sh),
+                           out_shardings=(repl, repl),
+                           donate_argnums=self._donate)
+        return jax.jit(step, static_argnums=(6,), donate_argnums=self._donate)
+
+    def train_step(self, state, scene: PreparedScene, lab_idx, lab_y,
+                   unl_idx):
+        return self._step_fn(
+            state, scene.padded_pca, scene.spectra,
+            jnp.asarray(lab_idx), jnp.asarray(lab_y), jnp.asarray(unl_idx),
+            scene.cols)
+
+    def fit(self, state, scene, sampler, *, log_every: int = 10,
+            log_fn=print):
+        cfg = self.config
+        history = []
+        for epoch in range(cfg.num_epochs):
+            for batch_index, (li, ly, ui) in enumerate(sampler.epoch()):
+                state, metrics = self.train_step(state, scene, li, ly, ui)
+                history.append(metrics)
+                if log_every and (batch_index + 1) % log_every == 0:
+                    m = jax.device_get(metrics)
+                    log_fn(f"Epoch {epoch + 1}/{cfg.num_epochs}: "
+                           f"{batch_index + 1}/{sampler.batches_per_epoch} "
+                           f"total_loss={float(m['total_loss']):.4f} "
+                           f"cls_loss={float(m['cls_loss']):.4f} "
+                           f"con_loss={float(m['con_loss']):.4f} "
+                           f"acc={float(m['acc']) * 100:.2f}")
+        return state, history

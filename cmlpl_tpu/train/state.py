@@ -1,0 +1,59 @@
+"""Training state containers + hyperparameter config.
+
+Defaults mirror the reference argparse (``train.py:355-380``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import optax
+
+from cmlpl_tpu.objectives.queue import QueueState
+
+
+@dataclasses.dataclass(frozen=True)
+class CMLPLConfig:
+    num_classes: int = 9
+    num_features: int = 103
+    n_pc: int = 60
+    patch_size: int = 20
+
+    labeled_batch: int = 128       # train.py:361
+    unlabeled_batch: int = 128     # train.py:362
+    val_batch: int = 512           # train.py:363
+    lr: float = 5e-4               # train.py:365
+    num_epochs: int = 20           # train.py:366
+    num_unlabel: int = 10000       # train.py:368
+    thr: float = 1.0               # train.py:369
+    alpha: float = 0.95            # train.py:371
+    queue_batch: int = 17          # train.py:372
+    temperature: float = 0.3       # train.py:374
+    dropout: float = 0.8           # train.py:377
+    noise: float = 0.5             # train.py:378
+    # loss weights (train.py:266, :270)
+    w_contrast: float = 0.5
+    w_consistency: float = 4.0
+    # queue size = 5 * labeled_batch * 2 (train.py:138)
+    feat_dim: int = 1024
+    seed: int = 1088
+
+    @property
+    def queue_size(self) -> int:
+        return 5 * self.labeled_batch * 2
+
+
+class NetState(NamedTuple):
+    params: Any
+    opt_state: optax.OptState
+
+
+class CMLPLTrainState(NamedTuple):
+    net_b: NetState          # "Base"  (train.py:118)
+    net_e: NetState          # "Base1" (train.py:122)
+    queue_w: QueueState      # smooths net E's probs (train.py:139-141)
+    queue_s: QueueState      # smooths net B's probs (train.py:142-145)
+    rng: jax.Array
+    step: jax.Array

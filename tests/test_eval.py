@@ -1,0 +1,63 @@
+"""Full-scene inference + metric tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmlpl_tpu.data.patches import gather_patches
+from cmlpl_tpu.eval import ScenePredictor, cal_accuracy
+from cmlpl_tpu.eval.visualize import draw_result
+from cmlpl_tpu.models import BaseNet2
+
+
+def test_scene_predictor_matches_direct_forward(tiny_scene):
+    model = BaseNet2(num_features=103, num_classes=9, n_pc=tiny_scene.n_pc)
+    xp0 = jnp.zeros((1, 20, 20, tiny_scene.n_pc))
+    x0 = jnp.zeros((1, 103))
+    params = model.init(jax.random.key(0), xp0, x0, train=False)["params"]
+
+    def apply(p, xp, x):
+        return model.apply({"params": p}, xp, x, train=False)[0]
+
+    predictor = ScenePredictor(apply, patch_size=20, cols=tiny_scene.cols,
+                               tile=256)
+    preds = predictor(params, tiny_scene)
+    assert preds.shape == (tiny_scene.num_pixels,)
+
+    # direct forward over a slice of pixels must agree
+    idx = np.arange(300, 428, dtype=np.int32)
+    xp = gather_patches(tiny_scene.padded_pca, jnp.asarray(idx),
+                        cols=tiny_scene.cols, w=20)
+    x = jnp.take(tiny_scene.spectra, jnp.asarray(idx), axis=0)
+    direct = np.asarray(jnp.argmax(apply(params, xp, x), axis=-1))
+    np.testing.assert_array_equal(preds[idx], direct)
+
+
+def test_cal_accuracy_perfect_and_kappa():
+    y = np.array([0, 0, 1, 1, 2, 2])
+    acc = cal_accuracy(y, y)
+    assert acc.oa == 1.0
+    assert acc.kappa == 1.0
+    np.testing.assert_allclose(acc.producer, 1.0)
+
+
+def test_cal_accuracy_known_value():
+    # hand-computed example: 2 classes, n=4
+    label = np.array([0, 0, 1, 1])
+    pred = np.array([0, 1, 1, 1])
+    acc = cal_accuracy(pred, label)
+    assert acc.oa == 0.75
+    # correct = [1, 2]; real = [2, 2]; predi = [1, 3]
+    # kappa = (4*3 - (2*1 + 2*3)) / (16 - 8) = (12 - 8) / 8 = 0.5
+    assert acc.kappa == 0.5
+    np.testing.assert_allclose(acc.producer, [0.5, 1.0])
+
+
+def test_draw_result_palette(tiny_scene):
+    labels = tiny_scene.labels.copy()
+    img = draw_result(labels, 0, rows=tiny_scene.rows, cols=tiny_scene.cols)
+    assert img.shape == (tiny_scene.rows, tiny_scene.cols, 3)
+    # background (label 0) is black
+    flat = img.reshape(-1, 3)
+    np.testing.assert_allclose(flat[labels == 0], 0.0)
+    assert img.max() <= 1.0

@@ -1,0 +1,69 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (conftest forces
+--xla_force_host_platform_device_count=8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cmlpl_tpu.core.mesh import create_mesh
+from cmlpl_tpu.data import SemiSupervisedSampler
+from cmlpl_tpu.eval import ScenePredictor
+from cmlpl_tpu.models import BaseNet2
+from cmlpl_tpu.train import CMLPLConfig, CMLPLTrainer
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+    return create_mesh(jax.devices()[:8])
+
+
+def _cfg(scene):
+    return CMLPLConfig(num_classes=9, num_features=103, n_pc=scene.n_pc,
+                       patch_size=scene.patch_size, labeled_batch=16,
+                       unlabeled_batch=16, num_unlabel=64, num_epochs=1)
+
+
+def test_cmlpl_step_on_mesh_matches_single_device(tiny_scene, tiny_splits,
+                                                  mesh):
+    cfg = _cfg(tiny_scene)
+    sampler = SemiSupervisedSampler(tiny_splits, tiny_scene.labels,
+                                    cfg.labeled_batch, cfg.unlabeled_batch,
+                                    num_unlabel=cfg.num_unlabel)
+    li, ly, ui = next(iter(sampler.epoch()))
+
+    t_single = CMLPLTrainer(cfg, donate=False)
+    s_single = t_single.init_state(jax.random.key(0))
+    _, m_single = t_single.train_step(s_single, tiny_scene, li, ly, ui, 0, 0)
+
+    t_mesh = CMLPLTrainer(cfg, mesh=mesh, donate=False)
+    s_mesh = t_mesh.init_state(jax.random.key(0))
+    new_state, m_mesh = t_mesh.train_step(s_mesh, tiny_scene, li, ly, ui,
+                                          0, 0)
+    # same seeds, same data => same losses regardless of sharding
+    for k in m_single:
+        np.testing.assert_allclose(float(m_single[k]), float(m_mesh[k]),
+                                   rtol=2e-3, atol=1e-5)
+    assert int(new_state.step) == 1
+
+
+def test_scene_predictor_sharded_matches_unsharded(tiny_scene, mesh):
+    model = BaseNet2(num_features=103, num_classes=9, n_pc=tiny_scene.n_pc)
+    xp0 = jnp.zeros((1, 20, 20, tiny_scene.n_pc))
+    x0 = jnp.zeros((1, 103))
+    params = model.init(jax.random.key(0), xp0, x0, train=False)["params"]
+
+    def apply(p, xp, x):
+        return model.apply({"params": p}, xp, x, train=False)[0]
+
+    single = ScenePredictor(apply, patch_size=20, cols=tiny_scene.cols,
+                            tile=256)
+    sharded = ScenePredictor(apply, patch_size=20, cols=tiny_scene.cols,
+                             tile=256, mesh=mesh)
+    np.testing.assert_array_equal(single(params, tiny_scene),
+                                  sharded(params, tiny_scene))
+
+
+def test_mesh_covers_all_devices(mesh):
+    assert mesh.devices.size == 8
