@@ -7,6 +7,10 @@ entire scene is classified in **one jit call**: pixel indices are tiled,
 gathers its patches from the HBM-resident padded cube, runs the forward
 pass and argmaxes on device; one final (K,) int32 transfer returns the map.
 
+The patch gather is the Pallas DMA kernel on TPU (4x the effective
+bandwidth of the XLA gather HLO; see ops/patch_gather.py) and the XLA
+gather elsewhere.
+
 Multi-chip: the tile dimension is sharded over the mesh's ``data`` axis, so
 each chip classifies an interleaved strip of the scene (the Houston scene's
 664,845 pixels are the scale axis here — see SURVEY §5).
@@ -14,7 +18,6 @@ each chip classifies an interleaved strip of the scene (the Houston scene's
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax
@@ -26,30 +29,56 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from cmlpl_tpu.data.prep import PreparedScene
 
 
+def _resolve_gather(gather: str) -> str:
+    if gather != "auto":
+        return gather
+    return ("pallas" if jax.default_backend() in ("tpu", "axon")
+            else "xla")
+
+
 class ScenePredictor:
     """Classifies every pixel of a prepared scene.
 
     ``apply_fn(params, xp, x) -> logits`` abstracts the model so the same
-    predictor serves BaseNet2 (logits head), CCT (encoder + linear head) and
-    the zoo backbones.
+    predictor serves BaseNet2 (logits head), CCT (encoder + linear head)
+    and the zoo backbones.
+
+    ``gather``: "pallas" (TPU DMA kernel), "xla", or "auto" (pallas on
+    TPU).  The pallas path lane-pads the cube's channels to 128 once per
+    call and slices them back after the gather.
     """
 
     def __init__(self, apply_fn: Callable, *, patch_size: int, cols: int,
-                 tile: int = 4096, mesh: Optional[Mesh] = None):
+                 tile: int = 4096, mesh: Optional[Mesh] = None,
+                 gather: str = "auto"):
         self.apply_fn = apply_fn
         self.patch_size = patch_size
         self.cols = cols
         self.tile = tile
         self.mesh = mesh
+        self.gather = _resolve_gather(gather)
+        if (self.gather == "pallas" and mesh is not None
+                and mesh.devices.size > 1 and gather == "auto"):
+            # GSPMD partitioning of a pallas_call inside the sharded tile
+            # map needs shard_map plumbing — keep the XLA gather on
+            # multi-chip meshes until that lands
+            self.gather = "xla"
         self._predict = self._build()
 
     def _build(self):
         w = self.patch_size
         cols = self.cols
         apply_fn = self.apply_fn
+        use_pallas = self.gather == "pallas"
 
-        def predict(params, padded, spectra, idx_tiles):
-            def one_tile(idx):
+        def predict(params, padded, spectra, idx_tiles, n_pc):
+            def gather_tile(idx):
+                if use_pallas:
+                    from cmlpl_tpu.ops.patch_gather import (
+                        gather_patches_pallas)
+
+                    xp = gather_patches_pallas(padded, idx, cols=cols, w=w)
+                    return xp[..., :n_pc]
                 r = idx // cols
                 c = idx % cols
 
@@ -57,32 +86,40 @@ class ScenePredictor:
                     return lax.dynamic_slice(
                         padded, (ri, ci, 0), (w, w, padded.shape[-1]))
 
-                xp = jax.vmap(slice_one)(r, c)
+                return jax.vmap(slice_one)(r, c)[..., :n_pc]
+
+            def one_tile(idx):
+                xp = gather_tile(idx)
                 x = jnp.take(spectra, idx, axis=0)
                 logits = apply_fn(params, xp, x)
                 return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
             return lax.map(one_tile, idx_tiles)
 
+        static = ("n_pc",)
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             tiles_sh = NamedSharding(self.mesh, P(None, "data"))
-            return jax.jit(predict,
+            return jax.jit(predict, static_argnames=static,
                            in_shardings=(repl, repl, repl, tiles_sh),
                            out_shardings=tiles_sh)
-        return jax.jit(predict)
+        return jax.jit(predict, static_argnames=static)
 
     def __call__(self, params, scene: PreparedScene) -> np.ndarray:
         """Returns 0-based predicted class ids for all rows*cols pixels."""
         k = scene.num_pixels
         n_dev = 1 if self.mesh is None else self.mesh.devices.size
-        tile = self.tile
-        # pad K so tiles divide evenly and each tile splits across devices
-        per_tile = tile
+        per_tile = self.tile
         padded_k = -(-k // (per_tile * n_dev)) * (per_tile * n_dev)
         idx = np.arange(padded_k, dtype=np.int32)
         idx[k:] = 0  # padding pixels classify pixel 0; discarded below
         idx_tiles = idx.reshape(-1, per_tile)
-        preds = self._predict(params, scene.padded_pca, scene.spectra,
-                              jnp.asarray(idx_tiles))
+
+        cube = scene.padded_pca
+        if self.gather == "pallas":
+            from cmlpl_tpu.ops.patch_gather import lane_pad_cube
+
+            cube = lane_pad_cube(cube)
+        preds = self._predict(params, cube, scene.spectra,
+                              jnp.asarray(idx_tiles), scene.n_pc)
         return np.asarray(jax.device_get(preds)).reshape(-1)[:k]

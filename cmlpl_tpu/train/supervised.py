@@ -1,0 +1,184 @@
+"""Generic supervised trainer for any zoo backbone.
+
+The reference has no backbone-training script in-repo (the zoo at
+``tools/conpared_models.py`` holds the paper's comparison models); this
+trainer supplies the capability: supervised CE over the labeled split, with
+optional patch augmentations, BatchNorm state handling, and full-scene
+evaluation through the same :class:`~cmlpl_tpu.eval.inference.ScenePredictor`
+(the ``base_test_whole`` path, hyper_tools.py:439-460).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cmlpl_tpu.data.augment import radiation_noise, random_flip, random_rot90
+from cmlpl_tpu.data.patches import gather_spectra
+from cmlpl_tpu.data.prep import PreparedScene
+from cmlpl_tpu.objectives.supervised import cross_entropy
+from cmlpl_tpu.train.cmlpl import _gather_patches_local
+
+
+class SupervisedState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: optax.OptState
+    rng: jax.Array
+    step: jax.Array
+
+
+class SupervisedTrainer:
+    """CE training of one backbone on the labeled split."""
+
+    def __init__(self, model, entry, *, lr: float = 5e-4,
+                 patch_size: int, n_pc: int, num_features: int,
+                 mesh: Optional[Mesh] = None, augment: bool = False,
+                 donate: bool = True):
+        self.model = model
+        self.entry = entry            # ZooEntry: inputs/returns_feature
+        self.patch_size = patch_size
+        self.n_pc = n_pc
+        self.num_features = num_features
+        self.mesh = mesh
+        self.augment = augment
+        self._donate = (0,) if donate else ()
+        self.optimizer = optax.adam(lr)
+        self._step_fn = self._build_step()
+
+    # -- model plumbing -------------------------------------------------- #
+    def _apply(self, variables, xp, x, *, train, rngs=None, mutable=False):
+        if self.entry.inputs == "dual":
+            return self.model.apply(variables, xp, x, train=train,
+                                    rngs=rngs, mutable=mutable)
+        return self.model.apply(variables, xp, train=train, rngs=rngs,
+                                mutable=mutable)
+
+    def logits_fn(self):
+        """(params_and_stats, xp, x) -> logits, for ScenePredictor."""
+
+        def fn(variables, xp, x):
+            out = self._apply(variables, xp, x, train=False)
+            if self.entry.returns_feature:
+                return out[0]
+            return out
+
+        return fn
+
+    def init_state(self, rng: jax.Array) -> SupervisedState:
+        k_init, k_run = jax.random.split(rng)
+        xp = jnp.zeros((2, self.patch_size, self.patch_size, self.n_pc))
+        x = jnp.zeros((2, self.num_features))
+        variables = (self.model.init(k_init, xp, x, train=False)
+                     if self.entry.inputs == "dual"
+                     else self.model.init(k_init, xp, train=False))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        state = SupervisedState(
+            params=params, batch_stats=batch_stats,
+            opt_state=self.optimizer.init(params),
+            rng=k_run, step=jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        return state
+
+    # -- the fused step --------------------------------------------------#
+    def _build_step(self):
+        augment = self.augment
+
+        def step(state: SupervisedState, padded, spectra, lab_idx, lab_y,
+                 cols: int) -> Tuple[SupervisedState, dict]:
+            rng, k_aug1, k_aug2, k_aug3, k_drop = jax.random.split(
+                state.rng, 5)
+            xp = _gather_patches_local(padded, lab_idx, cols,
+                                       self.patch_size)
+            x = gather_spectra(spectra, lab_idx)
+            if augment:
+                xp = random_flip(k_aug1, xp)
+                xp = random_rot90(k_aug2, xp)
+                xp = radiation_noise(k_aug3, xp)
+
+            def loss_fn(params):
+                variables = {"params": params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                    out, updates = self._apply(
+                        variables, xp, x, train=True,
+                        rngs={"dropout": k_drop},
+                        mutable=["batch_stats"])
+                    new_stats = updates["batch_stats"]
+                else:
+                    out = self._apply(variables, xp, x, train=True,
+                                      rngs={"dropout": k_drop})
+                    new_stats = state.batch_stats
+                logits = out[0] if self.entry.returns_feature else out
+                loss = cross_entropy(logits, lab_y)
+                acc = jnp.mean(
+                    (jnp.argmax(logits, 1) == lab_y).astype(jnp.float32))
+                return loss, (new_stats, {"cls_loss": loss, "acc": acc})
+
+            grads, (new_stats, metrics) = jax.grad(
+                loss_fn, has_aux=True)(state.params)
+            upd, opt_state = self.optimizer.update(grads, state.opt_state)
+            return SupervisedState(
+                params=optax.apply_updates(state.params, upd),
+                batch_stats=new_stats, opt_state=opt_state,
+                rng=rng, step=state.step + 1), metrics
+
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            batch_sh = NamedSharding(self.mesh, P("data"))
+            return jax.jit(step, static_argnums=(5,),
+                           in_shardings=(repl, repl, repl, batch_sh,
+                                         batch_sh),
+                           out_shardings=(repl, repl),
+                           donate_argnums=self._donate)
+        return jax.jit(step, static_argnums=(5,),
+                       donate_argnums=self._donate)
+
+    def train_step(self, state, scene: PreparedScene, lab_idx, lab_y):
+        return self._step_fn(state, scene.padded_pca, scene.spectra,
+                             jnp.asarray(lab_idx), jnp.asarray(lab_y),
+                             scene.cols)
+
+    def fit(self, state, scene: PreparedScene, train_idx: np.ndarray,
+            labels: np.ndarray, *, batch_size: int = 128,
+            num_epochs: int = 100, epoch_samples: Optional[int] = None,
+            seed: int = 1088, log_every: int = 10, log_fn=print):
+        """Epoch driver over the labeled split (tiled like the reference's
+        max_iters loaders when epoch_samples is given)."""
+        rng = np.random.default_rng(seed)
+        idx = np.asarray(train_idx)
+        history = []
+        for epoch in range(num_epochs):
+            perm = rng.permutation(idx)
+            if epoch_samples:
+                reps = -(-epoch_samples // len(perm))
+                perm = np.tile(perm, reps)[:epoch_samples]
+            n_batches = max(len(perm) // batch_size, 1)
+            bs = min(batch_size, len(perm))
+            for b in range(n_batches):
+                li = perm[b * bs:(b + 1) * bs]
+                if len(li) < bs:
+                    break
+                ly = (labels[li] - 1).astype(np.int32)
+                state, metrics = self.train_step(state, scene,
+                                                 li.astype(np.int32), ly)
+                history.append(metrics)
+            if log_every and (epoch + 1) % log_every == 0:
+                m = jax.device_get(history[-1])
+                log_fn(f"Epoch {epoch + 1}/{num_epochs} "
+                       f"cls_loss={float(m['cls_loss']):.4f} "
+                       f"acc={float(m['acc']) * 100:.2f}")
+        return state, history
+
+    def eval_variables(self, state: SupervisedState):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        return variables

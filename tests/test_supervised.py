@@ -1,0 +1,59 @@
+"""Generic supervised backbone trainer (zoo coverage end to end)."""
+
+import jax
+import numpy as np
+import pytest
+
+from cmlpl_tpu.data import generate_splits, prepare_scene, synthetic_scene
+from cmlpl_tpu.eval import ScenePredictor, cal_accuracy
+from cmlpl_tpu.models.zoo import build_model
+from cmlpl_tpu.registry import get_dataset
+from cmlpl_tpu.train.supervised import SupervisedTrainer
+
+
+@pytest.fixture(scope="module")
+def base_scene():
+    """Odd-window scene for base models (SampleGen_for_base semantics)."""
+    cube, gt = synthetic_scene(0)
+    scene = prepare_scene(0, cube=cube, gt=gt, patch_size=9, n_pc=103)
+    return scene
+
+
+def _train_and_eval(name, scene, n_pc, w, augment=False, epochs=12):
+    spec = get_dataset(0)
+    model, entry = build_model(name, spec, n_pc)
+    splits = generate_splits(scene.labels, num_label=5)
+    trainer = SupervisedTrainer(model, entry, patch_size=w, n_pc=n_pc,
+                                num_features=spec.num_bands,
+                                augment=augment, donate=False)
+    state = trainer.init_state(jax.random.key(0))
+    state, history = trainer.fit(
+        state, scene, splits.train, scene.labels, batch_size=45,
+        num_epochs=epochs, log_every=0)
+    predictor = ScenePredictor(trainer.logits_fn(), patch_size=w,
+                               cols=scene.cols, tile=256)
+    pred = predictor(trainer.eval_variables(state), scene)
+    acc = cal_accuracy(pred[splits.test], scene.labels[splits.test] - 1)
+    return acc, history
+
+
+def test_dbda_supervised_end_to_end(base_scene):
+    acc, history = _train_and_eval("dbda", base_scene, 103, 9)
+    assert float(history[-1]["cls_loss"]) < float(history[0]["cls_loss"])
+    # 12 steps only exercise the pipeline, not the model: BatchNorm
+    # running stats are barely warmed — just require above chance (1/9)
+    assert acc.oa > 0.12
+
+
+def test_basenet2_supervised_with_augment(base_scene):
+    cube, gt = synthetic_scene(0)
+    scene = prepare_scene(0, cube=cube, gt=gt, patch_size=20, n_pc=16)
+    acc, history = _train_and_eval("basenet2", scene, 16, 20, augment=True)
+    assert acc.oa > 0.5
+
+
+def test_ssftt_supervised_smoke():
+    cube, gt = synthetic_scene(0)
+    scene = prepare_scene(0, cube=cube, gt=gt, patch_size=13, n_pc=5)
+    acc, history = _train_and_eval("ssftt", scene, 5, 13, epochs=4)
+    assert np.isfinite(float(history[-1]["cls_loss"]))
