@@ -29,12 +29,8 @@ def main(argv=None):
     cfg = build_config(args, spec)
     mesh = create_mesh()
 
-    rng = seed_everything(args.seed)
+    rng = seed_everything(args.seed, impl=args.rng_impl)
     trainer = CMLPLTrainer(cfg, mesh=mesh)
-    state = trainer.init_state(rng)
-    state, _ = trainer.fit(state, scene, sampler,
-                           log_every=args.print_per_batches)
-
     model = trainer.model
 
     def apply_b(params, xp, x):
@@ -43,28 +39,46 @@ def main(argv=None):
     predictor = ScenePredictor(apply_b, patch_size=cfg.patch_size,
                                cols=scene.cols, tile=cfg.val_batch,
                                mesh=mesh)
-    t0 = time.time()
-    pred_b = predictor(state.net_b.params, scene)
-    print(f"full-scene inference time == {time.time() - t0:.3f}s")
-    pred_e = predictor(state.net_e.params, scene)
-
     y_test = scene.labels[splits.test] - 1
-    acc_b = cal_accuracy(pred_b[splits.test], y_test)
-    acc_e = cal_accuracy(pred_e[splits.test], y_test)
-    report_accuracy("net B", acc_b)
-    report_accuracy("net E", acc_e)
-
     out = save_path(args, spec)
-    save_class_map(
-        os.path.join(out, f"CMLPL_OA_{int(acc_b.oa * 10000)}.svg"),
-        pred_b + 1, spec, rows=scene.rows, cols=scene.cols)
-    save_report(os.path.join(out, "cmlpl_results.csv"), [acc_b], [acc_e])
+
+    runs_b, runs_e = [], []
+    state = None
+    for index_iter in range(args.num_iters):
+        import jax as _jax
+
+        state = trainer.init_state(_jax.random.fold_in(rng, index_iter))
+        state, _ = trainer.fit(state, scene, sampler,
+                               log_every=args.print_per_batches)
+
+        t0 = time.time()
+        pred_b = predictor(state.net_b.params, scene)
+        print(f"full-scene inference time == {time.time() - t0:.3f}s")
+        pred_e = predictor(state.net_e.params, scene)
+
+        acc_b = cal_accuracy(pred_b[splits.test], y_test)
+        acc_e = cal_accuracy(pred_e[splits.test], y_test)
+        report_accuracy("net B", acc_b)
+        report_accuracy("net E", acc_e)
+        runs_b.append(acc_b)
+        runs_e.append(acc_e)
+
+        save_class_map(
+            os.path.join(out, f"CMLPL_OA_{int(acc_b.oa * 10000)}.svg"),
+            pred_b + 1, spec, rows=scene.rows, cols=scene.cols)
+
+    save_report(os.path.join(out, "cmlpl_results.csv"), runs_b, runs_e)
+    if args.num_iters > 1:
+        import numpy as np
+
+        oas = np.array([r.oa for r in runs_b])
+        print(f"mean_OA ± std_OA is: {oas.mean()} ± {oas.std()}")
 
     if args.checkpoint_dir:
         from cmlpl_tpu.utils.checkpoint import save_checkpoint
 
         save_checkpoint(args.checkpoint_dir, state)
-    return acc_b, acc_e
+    return runs_b[-1], runs_e[-1]
 
 
 if __name__ == "__main__":

@@ -25,7 +25,7 @@ def main(argv=None):
     cfg = build_config(args, spec)
     mesh = create_mesh()
 
-    rng = seed_everything(args.seed)
+    rng = seed_everything(args.seed, impl=args.rng_impl)
     trainer = CCTTrainer(cfg, mesh=mesh)
     state = trainer.init_state(rng)
     state, _ = trainer.fit(state, scene, sampler,

@@ -20,6 +20,8 @@ classifier's input that is irrelevant when training from scratch.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -34,35 +36,44 @@ class BaseNet2(nn.Module):
 
     Inputs: ``xp`` (B, w, w, n_pc) PCA patch (NHWC), ``x`` (B, bands)
     spectrum.  Returns (logits, l2-normalised spectral feature).
+
+    ``dtype``: compute dtype for the conv/dense layers (params stay f32).
+    bfloat16 hits the MXU's native precision; the feature normalisation
+    and logits are promoted back to f32 so downstream loss math keeps the
+    reference numerics.
     """
 
     num_features: int = 103
     dropout: float = 0.0
     num_classes: int = 9
     n_pc: int = 60
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xp, x, *, train: bool = False):
-        h = tconv(64, (1, 1), self.n_pc, name="conv0")(xp)
+        dt = self.dtype
+        h = tconv(64, (1, 1), self.n_pc, name="conv0", dtype=dt)(xp)
         res = h
-        h = tconv(64, (3, 3), 64, padding=1, name="conv1")(h)
+        h = tconv(64, (3, 3), 64, padding=1, name="conv1", dtype=dt)(h)
         h = nn.relu(h + res)
         h = avg_pool2(h)
         res = h
-        h = tconv(64, (3, 3), 64, padding=1, name="conv2")(h)
+        h = tconv(64, (3, 3), 64, padding=1, name="conv2", dtype=dt)(h)
         h = nn.relu(h + res)
         h = avg_pool2(h)
         h = h.reshape(h.shape[0], -1)  # (B, 64 * (w/4)^2)
 
-        y = tdense(FEAT_DIM, self.num_features, name="feat_spe")(x)
+        y = tdense(FEAT_DIM, self.num_features, name="feat_spe",
+                   dtype=dt)(x)
         y = nn.relu(y)
 
         z = jnp.concatenate([h, y], axis=1)
-        feat = l2_normalize(y)
+        feat = l2_normalize(y.astype(jnp.float32))
         if self.dropout > 0:
             z = nn.Dropout(self.dropout, deterministic=not train)(z)
-        logits = tdense(self.num_classes, z.shape[-1], name="classifier")(z)
-        return logits, feat
+        logits = tdense(self.num_classes, z.shape[-1], name="classifier",
+                        dtype=dt)(z)
+        return logits.astype(jnp.float32), feat
 
 
 class BaseNet1(nn.Module):

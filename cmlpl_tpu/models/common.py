@@ -29,9 +29,14 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1,
 
 
 def tconv(features: int, kernel: tuple[int, int], in_features: int,
-          padding=0, strides=1, name=None, use_bias: bool = True) -> nn.Conv:
+          padding=0, strides=1, name=None, use_bias: bool = True,
+          dtype=None) -> nn.Conv:
     """NHWC Conv2d with torch-default init (needs ``in_features`` to size
-    the bias bound, since flax bias_init doesn't see fan_in)."""
+    the bias bound, since flax bias_init doesn't see fan_in).
+
+    ``dtype`` is the compute dtype (e.g. jnp.bfloat16 to hit the MXU's
+    native precision); params stay float32.
+    """
     fan_in = in_features * int(np.prod(kernel))
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
@@ -39,16 +44,16 @@ def tconv(features: int, kernel: tuple[int, int], in_features: int,
         strides = (strides, strides)
     return nn.Conv(
         features=features, kernel_size=kernel, strides=strides,
-        padding=padding, use_bias=use_bias,
+        padding=padding, use_bias=use_bias, dtype=dtype,
         kernel_init=torch_conv_kernel_init,
         bias_init=torch_bias_init(fan_in), name=name)
 
 
 def tdense(features: int, in_features: int, name=None,
-           use_bias: bool = True) -> nn.Dense:
-    """Dense with torch-default init."""
+           use_bias: bool = True, dtype=None) -> nn.Dense:
+    """Dense with torch-default init; ``dtype`` = compute dtype."""
     return nn.Dense(
-        features=features, use_bias=use_bias,
+        features=features, use_bias=use_bias, dtype=dtype,
         kernel_init=torch_linear_kernel_init,
         bias_init=torch_bias_init(in_features), name=name)
 

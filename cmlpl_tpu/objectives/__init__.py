@@ -25,3 +25,7 @@ from cmlpl_tpu.objectives.contrastive import (  # noqa: F401
     memobank_init,
 )
 from cmlpl_tpu.objectives.mmd import distribution_loss, mmd_loss  # noqa: F401
+from cmlpl_tpu.objectives.criterion import (  # noqa: F401
+    get_criterion,
+    weighted_cross_entropy,
+)

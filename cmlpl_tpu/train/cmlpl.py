@@ -70,9 +70,11 @@ class CMLPLTrainer:
         self._donate = (0,) if donate else ()
         self.model = BaseNet2(
             num_features=config.num_features, dropout=config.dropout,
-            num_classes=config.num_classes, n_pc=config.n_pc)
+            num_classes=config.num_classes, n_pc=config.n_pc,
+            dtype=(jnp.bfloat16 if config.compute_dtype == "bfloat16"
+                   else None))
         self.optimizer = optax.adam(config.lr)  # torch Adam defaults match
-        self._step_fn = self._build_step()
+        self._step_fn, self._epoch_fn = self._build_step()
 
     # ------------------------------------------------------------------ #
     def init_state(self, rng: jax.Array) -> CMLPLTrainState:
@@ -231,10 +233,28 @@ class CMLPLTrainer:
             )
             return new_state, metrics
 
+        def epoch_fn(state, padded, spectra, lab_idx, lab_y, unl_idx,
+                     adap_mask_thr, epoch_gt0, cols):
+            """A whole epoch as one lax.scan: identical math to the
+            per-step path (same rng threading), one dispatch instead of
+            ~79 — per-step host dispatch over a remote TPU link costs more
+            than the step's compute."""
+
+            def body(carry, inputs):
+                i, li, ly, ui = inputs
+                warm = jnp.logical_or(epoch_gt0, i > cfg.queue_batch)
+                return step(carry, padded, spectra, li, ly, ui,
+                            adap_mask_thr, warm, cols)
+
+            n = lab_idx.shape[0]
+            steps = jnp.arange(n, dtype=jnp.int32)
+            return lax.scan(body, state, (steps, lab_idx, lab_y, unl_idx))
+
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             batch_sh = NamedSharding(self.mesh, P("data"))
-            return jax.jit(
+            epoch_sh = NamedSharding(self.mesh, P(None, "data"))
+            jit_step = jax.jit(
                 step,
                 static_argnums=(8,),
                 in_shardings=(repl, repl, repl, batch_sh, batch_sh,
@@ -242,41 +262,92 @@ class CMLPLTrainer:
                 out_shardings=(repl, repl),
                 donate_argnums=self._donate,
             )
-        return jax.jit(step, static_argnums=(8,), donate_argnums=self._donate)
+            jit_epoch = jax.jit(
+                epoch_fn,
+                static_argnums=(8,),
+                in_shardings=(repl, repl, repl, epoch_sh, epoch_sh,
+                              epoch_sh, repl, repl),
+                out_shardings=(repl, repl),
+                donate_argnums=self._donate,
+            )
+            return jit_step, jit_epoch
+        return (jax.jit(step, static_argnums=(8,),
+                        donate_argnums=self._donate),
+                jax.jit(epoch_fn, static_argnums=(8,),
+                        donate_argnums=self._donate))
 
     # ------------------------------------------------------------------ #
+    def _adaptive_thr(self, epoch: int) -> float:
+        cfg = self.config
+        return float(np.exp(-0.5 * (epoch / cfg.num_epochs) ** 2)) * cfg.thr
+
     def train_step(self, state, scene: PreparedScene, lab_idx, lab_y,
                    unl_idx, epoch: int, batch_index: int):
         """One optimisation step.  ``epoch``/``batch_index`` drive the
         adaptive threshold (train.py:147-148) and queue warmup
         (train.py:212)."""
         cfg = self.config
-        adap = float(np.exp(-0.5 * (epoch / cfg.num_epochs) ** 2)) * cfg.thr
         warm = bool(epoch > 0 or batch_index > cfg.queue_batch)
         return self._step_fn(
             state, scene.padded_pca, scene.spectra,
             jnp.asarray(lab_idx), jnp.asarray(lab_y), jnp.asarray(unl_idx),
-            jnp.float32(adap), jnp.asarray(warm), scene.cols)
+            jnp.float32(self._adaptive_thr(epoch)), jnp.asarray(warm),
+            scene.cols)
+
+    def train_epoch(self, state, scene: PreparedScene, lab_idx, lab_y,
+                    unl_idx, epoch: int):
+        """One epoch in a single dispatch.  Batch arrays are stacked
+        (num_batches, batch); returns (state, metrics-of-arrays)."""
+        return self._epoch_fn(
+            state, scene.padded_pca, scene.spectra,
+            jnp.asarray(lab_idx), jnp.asarray(lab_y), jnp.asarray(unl_idx),
+            jnp.float32(self._adaptive_thr(epoch)),
+            jnp.asarray(epoch > 0), scene.cols)
 
     # ------------------------------------------------------------------ #
     def fit(self, state, scene: PreparedScene, sampler, *,
-            log_every: int = 10, log_fn=print):
-        """Epoch driver (train.py:146-289)."""
+            log_every: int = 10, log_fn=print, scan_epochs: bool = True):
+        """Epoch driver (train.py:146-289).  ``scan_epochs`` runs each
+        epoch as one fused scan (identical math; metrics logged from the
+        stacked per-step values after the epoch)."""
         cfg = self.config
         history = []
         for epoch in range(cfg.num_epochs):
+            if scan_epochs:
+                batches = list(sampler.epoch())
+                li = np.stack([b[0] for b in batches])
+                ly = np.stack([b[1] for b in batches])
+                ui = np.stack([b[2] for b in batches])
+                state, stacked = self.train_epoch(state, scene, li, ly, ui,
+                                                  epoch)
+                stacked = jax.device_get(stacked)
+                n = li.shape[0]
+                history.extend(
+                    {k: v[i] for k, v in stacked.items()} for i in range(n))
+                if log_every:
+                    for b in range(log_every - 1, n, log_every):
+                        lo = b - log_every + 1
+                        log_fn(self._format_log(epoch, b, n, {
+                            k: float(np.mean(v[lo:b + 1]))
+                            for k, v in stacked.items()}))
+                continue
             for batch_index, (li, ly, ui) in enumerate(sampler.epoch()):
                 state, metrics = self.train_step(
                     state, scene, li, ly, ui, epoch, batch_index)
                 history.append(metrics)
                 if log_every and (batch_index + 1) % log_every == 0:
-                    m = jax.device_get(metrics)
-                    log_fn(
-                        f"Epoch {epoch + 1}/{cfg.num_epochs}: "
-                        f"{batch_index + 1}/{sampler.batches_per_epoch} "
-                        f"loss_contrast={float(m['loss_contrast']):.2f} "
-                        f"total_loss={float(m['total_loss']):.4f} "
-                        f"cls_loss={float(m['cls_loss']):.4f} "
-                        f"con_loss={float(m['con_loss']):.4f} "
-                        f"acc={float(m['acc']) * 100:.2f}")
+                    m = {k: float(v)
+                         for k, v in jax.device_get(metrics).items()}
+                    log_fn(self._format_log(epoch, batch_index,
+                                            sampler.batches_per_epoch, m))
         return state, history
+
+    def _format_log(self, epoch, batch_index, num_batches, m):
+        cfg = self.config
+        return (f"Epoch {epoch + 1}/{cfg.num_epochs}: "
+                f"{batch_index + 1}/{num_batches} "
+                f"loss_contrast={m['loss_contrast']:.2f} "
+                f"total_loss={m['total_loss']:.4f} "
+                f"cls_loss={m['cls_loss']:.4f} "
+                f"con_loss={m['con_loss']:.4f} "
+                f"acc={m['acc'] * 100:.2f}")

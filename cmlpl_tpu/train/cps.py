@@ -54,7 +54,7 @@ class CPSTrainer:
             num_features=config.num_features, dropout=config.dropout,
             num_classes=config.num_classes, n_pc=config.n_pc)
         self.optimizer = optax.adam(config.lr)
-        self._step_fn = self._build_step()
+        self._step_fn, self._epoch_fn = self._build_step()
 
     def init_state(self, rng: jax.Array) -> CPSTrainState:
         cfg = self.config
@@ -134,15 +134,32 @@ class CPSTrainer:
                                                    upd_e), opt_e),
                 rng=rng, step=state.step + 1), metrics
 
+        def epoch_fn(state, padded, spectra, lab_idx, lab_y, unl_idx,
+                     cols: int):
+            def body(carry, inputs):
+                li, ly, ui = inputs
+                return step(carry, padded, spectra, li, ly, ui, cols)
+
+            return jax.lax.scan(body, state, (lab_idx, lab_y, unl_idx))
+
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             batch_sh = NamedSharding(self.mesh, P("data"))
-            return jax.jit(step, static_argnums=(6,),
-                           in_shardings=(repl, repl, repl, batch_sh,
-                                         batch_sh, batch_sh),
-                           out_shardings=(repl, repl),
-                           donate_argnums=self._donate)
-        return jax.jit(step, static_argnums=(6,), donate_argnums=self._donate)
+            epoch_sh = NamedSharding(self.mesh, P(None, "data"))
+            return (jax.jit(step, static_argnums=(6,),
+                            in_shardings=(repl, repl, repl, batch_sh,
+                                          batch_sh, batch_sh),
+                            out_shardings=(repl, repl),
+                            donate_argnums=self._donate),
+                    jax.jit(epoch_fn, static_argnums=(6,),
+                            in_shardings=(repl, repl, repl, epoch_sh,
+                                          epoch_sh, epoch_sh),
+                            out_shardings=(repl, repl),
+                            donate_argnums=self._donate))
+        return (jax.jit(step, static_argnums=(6,),
+                        donate_argnums=self._donate),
+                jax.jit(epoch_fn, static_argnums=(6,),
+                        donate_argnums=self._donate))
 
     def train_step(self, state, scene: PreparedScene, lab_idx, lab_y,
                    unl_idx):
@@ -151,11 +168,40 @@ class CPSTrainer:
             jnp.asarray(lab_idx), jnp.asarray(lab_y), jnp.asarray(unl_idx),
             scene.cols)
 
+    def train_epoch(self, state, scene: PreparedScene, lab_idx, lab_y,
+                    unl_idx):
+        """One epoch in a single dispatch over stacked batch arrays."""
+        return self._epoch_fn(
+            state, scene.padded_pca, scene.spectra,
+            jnp.asarray(lab_idx), jnp.asarray(lab_y), jnp.asarray(unl_idx),
+            scene.cols)
+
     def fit(self, state, scene, sampler, *, log_every: int = 10,
-            log_fn=print):
+            log_fn=print, scan_epochs: bool = True):
+        import numpy as np
+
         cfg = self.config
         history = []
         for epoch in range(cfg.num_epochs):
+            if scan_epochs:
+                batches = list(sampler.epoch())
+                li = np.stack([b[0] for b in batches])
+                ly = np.stack([b[1] for b in batches])
+                ui = np.stack([b[2] for b in batches])
+                state, stacked = self.train_epoch(state, scene, li, ly, ui)
+                stacked = jax.device_get(stacked)
+                n = li.shape[0]
+                history.extend(
+                    {k: v[i] for k, v in stacked.items()} for i in range(n))
+                if log_every:
+                    m = {k: float(np.mean(v[-log_every:]))
+                         for k, v in stacked.items()}
+                    log_fn(f"Epoch {epoch + 1}/{cfg.num_epochs}: {n}/{n} "
+                           f"total_loss={m['total_loss']:.4f} "
+                           f"cls_loss={m['cls_loss']:.4f} "
+                           f"con_loss={m['con_loss']:.4f} "
+                           f"acc={m['acc'] * 100:.2f}")
+                continue
             for batch_index, (li, ly, ui) in enumerate(sampler.epoch()):
                 state, metrics = self.train_step(state, scene, li, ly, ui)
                 history.append(metrics)

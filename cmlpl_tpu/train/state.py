@@ -39,6 +39,9 @@ class CMLPLConfig:
     # queue size = 5 * labeled_batch * 2 (train.py:138)
     feat_dim: int = 1024
     seed: int = 1088
+    # performance knobs (defaults preserve reference numerics)
+    compute_dtype: str = "float32"   # "bfloat16" for MXU-native compute
+    rng_impl: str = "threefry2x32"   # "rbg" is much faster on TPU
 
     @property
     def queue_size(self) -> int:

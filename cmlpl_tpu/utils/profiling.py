@@ -26,7 +26,13 @@ def trace(log_dir: str) -> Iterator[None]:
 
 
 class StepTimer:
-    """Measures per-step wall time, synchronising on a device array."""
+    """Measures per-step wall time, synchronising on a device array.
+
+    Note: on remote-attached TPUs (e.g. the axon tunnel),
+    ``jax.block_until_ready`` can return at *enqueue* time; passing
+    ``sync_on`` fetches one element to host, which is the only honest
+    completion barrier there.
+    """
 
     def __init__(self):
         self.times: list[float] = []
@@ -37,7 +43,9 @@ class StepTimer:
 
     def stop(self, sync_on=None) -> float:
         if sync_on is not None:
-            jax.block_until_ready(sync_on)
+            leaf = jax.tree_util.tree_leaves(sync_on)[0]
+            _ = jax.device_get(leaf.ravel()[0] if hasattr(leaf, "ravel")
+                               else leaf)
         dt = time.perf_counter() - self._t0
         self.times.append(dt)
         return dt
