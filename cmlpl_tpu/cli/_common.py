@@ -50,6 +50,15 @@ def base_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="model compute dtype (params stay float32)")
     p.add_argument("--checkpoint_dir", type=str, default=None)
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="save a checkpoint every N epochs (0 = only at "
+                        "the end, with --checkpoint_dir)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in "
+                        "--checkpoint_dir")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of one epoch into "
+                        "this directory")
     p.add_argument("--num_iters", type=int, default=1,
                    help="repeat training num_iters times and report "
                         "mean±std (reference train.py:116 index_iter loop)")

@@ -52,14 +52,16 @@ def main(args=None):
     np.save(os.path.join(out, "unlabel_array.npy"), splits.unlabeled)
 
     if args.materialize_patches:
+        from cmlpl_tpu.native import (
+            extract_patches_native,
+            pad_symmetric_native,
+        )
+
         hw = patch_pad_width(args.w)
-        padded = pad_symmetric(
-            x_pca.reshape(rows, cols, args.n_PC), hw).astype(np.float32)
-        w = args.w
-        XP = np.zeros((rows * cols, args.n_PC, w, w), dtype=np.float32)
-        for k in range(rows * cols):
-            r, c = k // cols, k % cols
-            XP[k] = np.moveaxis(padded[r:r + w, c:c + w, :], 2, 0)
+        padded = pad_symmetric_native(
+            x_pca.reshape(rows, cols, args.n_PC).astype(np.float32), hw)
+        XP = extract_patches_native(padded, rows, cols, args.w,
+                                    layout="nchw")
         np.save(os.path.join(out, "XP.npy"), XP)
 
     print(f"wrote splits for {spec.name} to {out}: "

@@ -42,14 +42,51 @@ def main(argv=None):
     y_test = scene.labels[splits.test] - 1
     out = save_path(args, spec)
 
+    batches_per_epoch = sampler.batches_per_epoch
+
+    def make_epoch_hook():
+        if not (args.checkpoint_dir and args.checkpoint_every):
+            return None
+        from cmlpl_tpu.utils.checkpoint import save_checkpoint
+
+        def hook(epoch, st):
+            if (epoch + 1) % args.checkpoint_every == 0:
+                save_checkpoint(args.checkpoint_dir, st)
+
+        return hook
+
     runs_b, runs_e = [], []
     state = None
     for index_iter in range(args.num_iters):
         import jax as _jax
 
         state = trainer.init_state(_jax.random.fold_in(rng, index_iter))
+        start_epoch = 0
+        if args.resume and args.checkpoint_dir and index_iter == 0:
+            from cmlpl_tpu.utils.checkpoint import restore_checkpoint
+
+            try:
+                state = restore_checkpoint(args.checkpoint_dir,
+                                           _jax.device_get(state))
+                start_epoch = int(state.step) // batches_per_epoch
+                print(f"resumed from step {int(state.step)} "
+                      f"(epoch {start_epoch})")
+            except FileNotFoundError:
+                print("no checkpoint to resume from; starting fresh")
+
+        if args.profile_dir and index_iter == 0:
+            from cmlpl_tpu.utils.profiling import trace
+
+            with trace(args.profile_dir):
+                state, _ = trainer.fit(
+                    state, scene, sampler, log_every=0,
+                    start_epoch=start_epoch,
+                    on_epoch_end=make_epoch_hook())
+                start_epoch = cfg.num_epochs  # whole run traced
         state, _ = trainer.fit(state, scene, sampler,
-                               log_every=args.print_per_batches)
+                               log_every=args.print_per_batches,
+                               start_epoch=start_epoch,
+                               on_epoch_end=make_epoch_hook())
 
         t0 = time.time()
         pred_b = predictor(state.net_b.params, scene)

@@ -306,13 +306,16 @@ class CMLPLTrainer:
 
     # ------------------------------------------------------------------ #
     def fit(self, state, scene: PreparedScene, sampler, *,
-            log_every: int = 10, log_fn=print, scan_epochs: bool = True):
+            log_every: int = 10, log_fn=print, scan_epochs: bool = True,
+            start_epoch: int = 0, on_epoch_end=None):
         """Epoch driver (train.py:146-289).  ``scan_epochs`` runs each
         epoch as one fused scan (identical math; metrics logged from the
-        stacked per-step values after the epoch)."""
+        stacked per-step values after the epoch).  ``start_epoch``
+        supports resume; ``on_epoch_end(epoch, state)`` hooks periodic
+        checkpointing."""
         cfg = self.config
         history = []
-        for epoch in range(cfg.num_epochs):
+        for epoch in range(start_epoch, cfg.num_epochs):
             if scan_epochs:
                 batches = list(sampler.epoch())
                 li = np.stack([b[0] for b in batches])
@@ -330,6 +333,8 @@ class CMLPLTrainer:
                         log_fn(self._format_log(epoch, b, n, {
                             k: float(np.mean(v[lo:b + 1]))
                             for k, v in stacked.items()}))
+                if on_epoch_end is not None:
+                    on_epoch_end(epoch, state)
                 continue
             for batch_index, (li, ly, ui) in enumerate(sampler.epoch()):
                 state, metrics = self.train_step(
@@ -340,6 +345,8 @@ class CMLPLTrainer:
                          for k, v in jax.device_get(metrics).items()}
                     log_fn(self._format_log(epoch, batch_index,
                                             sampler.batches_per_epoch, m))
+            if on_epoch_end is not None:
+                on_epoch_end(epoch, state)
         return state, history
 
     def _format_log(self, epoch, batch_index, num_batches, m):
