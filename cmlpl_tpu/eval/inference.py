@@ -57,12 +57,6 @@ class ScenePredictor:
         self.tile = tile
         self.mesh = mesh
         self.gather = _resolve_gather(gather)
-        if (self.gather == "pallas" and mesh is not None
-                and mesh.devices.size > 1 and gather == "auto"):
-            # GSPMD partitioning of a pallas_call inside the sharded tile
-            # map needs shard_map plumbing — keep the XLA gather on
-            # multi-chip meshes until that lands
-            self.gather = "xla"
         self._predict = self._build()
 
     def _build(self):
@@ -98,11 +92,26 @@ class ScenePredictor:
 
         static = ("n_pc",)
         if self.mesh is not None:
-            repl = NamedSharding(self.mesh, P())
-            tiles_sh = NamedSharding(self.mesh, P(None, "data"))
-            return jax.jit(predict, static_argnames=static,
-                           in_shardings=(repl, repl, repl, tiles_sh),
-                           out_shardings=tiles_sh)
+            # shard_map over the tiles dim: each chip runs the whole
+            # gather+forward pipeline (including pallas_call, which GSPMD
+            # can't partition) on its own strip of the scene
+            shard_map = jax.shard_map
+
+            mesh = self.mesh
+            axis = mesh.axis_names[0]
+
+            def predict_sharded(params, padded, spectra, idx_tiles, n_pc):
+                local = shard_map(
+                    lambda p, pad, sp, tiles: predict(p, pad, sp, tiles,
+                                                      n_pc),
+                    mesh=mesh,
+                    in_specs=(P(), P(), P(), P(axis, None)),
+                    out_specs=P(axis, None),
+                    check_vma=False,
+                )
+                return local(params, padded, spectra, idx_tiles)
+
+            return jax.jit(predict_sharded, static_argnames=static)
         return jax.jit(predict, static_argnames=static)
 
     def __call__(self, params, scene: PreparedScene) -> np.ndarray:
