@@ -28,8 +28,6 @@ REF_GPU_PATCHES_PER_SEC_EST = 10_000.0
 
 # PaviaU dims (registry dataID 1): 610 x 340 x 103, 9 classes
 ROWS, COLS = 610, 340
-WARMUP_STEPS = 5
-TIMED_STEPS = 30
 
 
 def main() -> None:
@@ -61,30 +59,21 @@ def main() -> None:
     # identical, and all training math stays float32
     state = trainer.init_state(jax.random.key(0, impl="rbg"))
 
-    def epoch_arrays():
-        batches = list(sampler.epoch())
-        return (np.stack([b[0] for b in batches]),
-                np.stack([b[1] for b in batches]),
-                np.stack([b[2] for b in batches]))
-
     def sync(metrics):
         # under the axon remote-TPU tunnel, block_until_ready returns at
         # enqueue time; a device->host fetch is the only honest barrier
-        return float(np.asarray(metrics["acc"][-1]))
+        return float(np.asarray(metrics["acc"]).ravel()[-1])
 
-    # warmup (compile the scanned epoch)
-    li, ly, ui = epoch_arrays()
-    state, metrics = trainer.train_epoch(state, scene, li, ly, ui, epoch=1)
+    # warmup: compile the fused whole-run (the ENTIRE 20-epoch schedule,
+    # 1,560 steps, is one dispatch)
+    state, metrics = trainer.train_run(state, scene, sampler)
     sync(metrics)
 
-    timed_epochs = 3
-    steps = li.shape[0] * timed_epochs
+    steps = cfg.num_epochs * (cfg.num_unlabel // cfg.labeled_batch)
+    state = trainer.init_state(jax.random.key(1, impl="rbg"))
     t0 = time.perf_counter()
-    for _ in range(timed_epochs):
-        li, ly, ui = epoch_arrays()
-        state, metrics = trainer.train_epoch(state, scene, li, ly, ui,
-                                             epoch=1)
-    sync(metrics)
+    state, metrics = trainer.train_run(state, scene, sampler)
+    final_acc = sync(metrics)
     dt = time.perf_counter() - t0
     steps_per_sec = steps / dt
     patches_per_sec = steps_per_sec * (cfg.labeled_batch
@@ -113,8 +102,10 @@ def main() -> None:
         "vs_baseline": round(pps_per_chip / REF_GPU_PATCHES_PER_SEC_EST, 3),
         "extra": {
             "steps_per_sec": round(steps_per_sec, 2),
+            "full_20epoch_train_sec": round(dt, 3),
             "full_scene_paviau_sec": round(scene_sec, 3),
             "full_scene_target_sec": 5.0,
+            "final_train_acc": round(final_acc, 4),
             "n_chips": n_chips,
             "timed_steps": steps,
         },

@@ -74,7 +74,7 @@ class CMLPLTrainer:
             dtype=(jnp.bfloat16 if config.compute_dtype == "bfloat16"
                    else None))
         self.optimizer = optax.adam(config.lr)  # torch Adam defaults match
-        self._step_fn, self._epoch_fn = self._build_step()
+        self._step_fn, self._epoch_fn, self._run_fn = self._build_step()
 
     # ------------------------------------------------------------------ #
     def init_state(self, rng: jax.Array) -> CMLPLTrainState:
@@ -250,10 +250,30 @@ class CMLPLTrainer:
             steps = jnp.arange(n, dtype=jnp.int32)
             return lax.scan(body, state, (steps, lab_idx, lab_y, unl_idx))
 
+        def run_fn(state, padded, spectra, lab_idx, lab_y, unl_idx,
+                   adap_per_epoch, cols):
+            """The ENTIRE training run as one dispatch: scan over epochs
+            of scans over steps.  Batch arrays are (E, N, B); the
+            per-epoch adaptive threshold comes in as an (E,) array and
+            the warmup flag is computed from the epoch/step counters —
+            identical math to fit()'s per-epoch path."""
+
+            def epoch_body(carry, xs):
+                e_idx, li_e, ly_e, ui_e, adap_e = xs
+                return epoch_fn(carry, padded, spectra, li_e, ly_e, ui_e,
+                                adap_e, e_idx > 0, cols)
+
+            e = lab_idx.shape[0]
+            epochs = jnp.arange(e, dtype=jnp.int32)
+            return lax.scan(epoch_body, state,
+                            (epochs, lab_idx, lab_y, unl_idx,
+                             adap_per_epoch))
+
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             batch_sh = NamedSharding(self.mesh, P("data"))
             epoch_sh = NamedSharding(self.mesh, P(None, "data"))
+            run_sh = NamedSharding(self.mesh, P(None, None, "data"))
             jit_step = jax.jit(
                 step,
                 static_argnums=(8,),
@@ -270,10 +290,20 @@ class CMLPLTrainer:
                 out_shardings=(repl, repl),
                 donate_argnums=self._donate,
             )
-            return jit_step, jit_epoch
+            jit_run = jax.jit(
+                run_fn,
+                static_argnums=(7,),
+                in_shardings=(repl, repl, repl, run_sh, run_sh, run_sh,
+                              repl),
+                out_shardings=(repl, repl),
+                donate_argnums=self._donate,
+            )
+            return jit_step, jit_epoch, jit_run
         return (jax.jit(step, static_argnums=(8,),
                         donate_argnums=self._donate),
                 jax.jit(epoch_fn, static_argnums=(8,),
+                        donate_argnums=self._donate),
+                jax.jit(run_fn, static_argnums=(7,),
                         donate_argnums=self._donate))
 
     # ------------------------------------------------------------------ #
@@ -304,6 +334,29 @@ class CMLPLTrainer:
             jnp.float32(self._adaptive_thr(epoch)),
             jnp.asarray(epoch > 0), scene.cols)
 
+    def train_run(self, state, scene: PreparedScene, sampler):
+        """The whole training schedule (num_epochs x batches) in ONE
+        dispatch.  Pre-draws every epoch's shuffled index arrays from the
+        sampler (same host-rng sequence as fit()'s per-epoch path) and
+        scans over them on device; returns (state, metrics stacked
+        (E, N))."""
+        cfg = self.config
+        epochs = []
+        for _ in range(cfg.num_epochs):
+            batches = list(sampler.epoch())
+            epochs.append((np.stack([b[0] for b in batches]),
+                           np.stack([b[1] for b in batches]),
+                           np.stack([b[2] for b in batches])))
+        li = np.stack([e[0] for e in epochs])
+        ly = np.stack([e[1] for e in epochs])
+        ui = np.stack([e[2] for e in epochs])
+        adap = np.asarray([self._adaptive_thr(e)
+                           for e in range(cfg.num_epochs)], np.float32)
+        return self._run_fn(
+            state, scene.padded_pca, scene.spectra,
+            jnp.asarray(li), jnp.asarray(ly), jnp.asarray(ui),
+            jnp.asarray(adap), scene.cols)
+
     # ------------------------------------------------------------------ #
     def fit(self, state, scene: PreparedScene, sampler, *,
             log_every: int = 10, log_fn=print, scan_epochs: bool = True,
@@ -312,9 +365,27 @@ class CMLPLTrainer:
         epoch as one fused scan (identical math; metrics logged from the
         stacked per-step values after the epoch).  ``start_epoch``
         supports resume; ``on_epoch_end(epoch, state)`` hooks periodic
-        checkpointing."""
+        checkpointing.
+
+        When no per-epoch host work is requested (no hooks, no resume),
+        the whole schedule runs as ONE fused dispatch (``train_run``) —
+        on a remote-attached TPU this is the difference between ~20
+        dispatch round-trips and one."""
         cfg = self.config
         history = []
+        if (scan_epochs and start_epoch == 0 and on_epoch_end is None
+                and cfg.num_epochs > 1):
+            state, stacked = self.train_run(state, scene, sampler)
+            stacked = jax.device_get(stacked)
+            e, n = next(iter(stacked.values())).shape
+            for ep in range(e):
+                history.extend({k: v[ep, i] for k, v in stacked.items()}
+                               for i in range(n))
+                if log_every:
+                    log_fn(self._format_log(ep, n - 1, n, {
+                        k: float(np.mean(v[ep, -log_every:]))
+                        for k, v in stacked.items()}))
+            return state, history
         for epoch in range(start_epoch, cfg.num_epochs):
             if scan_epochs:
                 batches = list(sampler.epoch())
