@@ -60,7 +60,10 @@ def load_scene(data_id, root: str = "./dataset") -> Tuple[np.ndarray, np.ndarray
 
 def synthetic_scene(spec: DatasetSpec | int, seed: int = 7,
                     rows: int | None = None,
-                    cols: int | None = None) -> Tuple[np.ndarray, np.ndarray]:
+                    cols: int | None = None,
+                    noise_std: float = 0.08,
+                    class_sep: float = 1.0
+                    ) -> Tuple[np.ndarray, np.ndarray]:
     """Deterministic synthetic hyperspectral scene.
 
     Builds ``num_classes`` smooth spectral signatures, assigns classes in
@@ -68,6 +71,10 @@ def synthetic_scene(spec: DatasetSpec | int, seed: int = 7,
     scene), adds noise, and zeroes out ~25% of pixels as unlabeled
     background (label 0), matching the labeling convention of the real
     cubes (Y==0 means "no ground truth").
+
+    ``noise_std`` scales the additive spectral noise and ``class_sep``
+    shrinks signatures toward their mean — lower values make a harder
+    scene (used by the method-comparison experiments).
     """
     spec = get_dataset(spec)
     rows = rows or spec.rows
@@ -101,9 +108,12 @@ def synthetic_scene(spec: DatasetSpec | int, seed: int = 7,
     bg = rng.random((rows, cols)) < 0.25
     Y = np.where(bg, 0, Y).astype(np.int64)
 
+    if class_sep != 1.0:
+        sigs = sigs.mean(0, keepdims=True) + class_sep * (
+            sigs - sigs.mean(0, keepdims=True))
     X = sigs[Y - 1].reshape(rows, cols, bands)
     X = X * rng.uniform(0.9, 1.1, size=(rows, cols, 1))
-    X = X + rng.normal(0.0, 0.08, size=X.shape)
+    X = X + rng.normal(0.0, noise_std, size=X.shape)
     # scale into a uint16-like reflectance range like the real cubes
     X = ((X - X.min()) / (X.max() - X.min()) * 8000.0 + 500.0)
     return X.astype(np.float64), Y

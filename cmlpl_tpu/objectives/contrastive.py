@@ -119,7 +119,9 @@ def memobank_contrastive(
         low_rank: int = 3,
         high_rank: int = 9,
         max_push: int = 64,
-) -> Tuple[jnp.ndarray, MemoBankState]:
+        momentum_prototypes: jnp.ndarray | None = None,
+        i_iter: int | jnp.ndarray = 0,
+):
     """InfoNCE against class prototypes with memory-bank negatives
     (loss_helper.py:39-219, pixel-vector domain).
 
@@ -129,6 +131,12 @@ def memobank_contrastive(
     high-entropy pixels whose class-c probability ranks in
     [low_rank, high_rank).  Classes with no anchors or empty banks
     contribute zero.
+
+    ``momentum_prototypes`` (C, D): the reference's optional EMA
+    prototypes (loss_helper.py:193-202) — positives are blended with the
+    running prototype at decay min(1 - 1/i_iter, 0.999) once the running
+    state is non-zero, and the updated (C, D) prototypes are returned as
+    a third output.
     """
     rep_teacher = lax.stop_gradient(rep_teacher)
     probs = lax.stop_gradient(probs)
@@ -151,6 +159,16 @@ def memobank_contrastive(
     weights = low_valid / jnp.maximum(
         jnp.sum(low_valid, axis=0, keepdims=True), 1.0)    # (N, C)
     protos = jnp.einsum("nc,nd->cd", weights, rep_teacher)  # (C, D)
+
+    new_prototypes = None
+    if momentum_prototypes is not None:
+        # EMA blend (loss_helper.py:193-202): active once the running
+        # prototypes are non-zero
+        warm = jnp.any(momentum_prototypes != 0)
+        decay = jnp.minimum(1.0 - 1.0 / jnp.maximum(i_iter, 1), 0.999)
+        blended = ((1.0 - decay) * protos + decay * momentum_prototypes)
+        protos = jnp.where(warm, blended, protos)
+        new_prototypes = protos
 
     # refresh the bank with negatives, then sample from it
     bank = memobank_update(bank, rep_teacher, negative_mask.T, max_push, key)
@@ -186,4 +204,7 @@ def memobank_contrastive(
     losses, valids = jax.vmap(per_class)(
         jnp.arange(num_classes), (keys[0], keys[1]))
     valid_seg = jnp.maximum(jnp.sum(valids), 1.0)
-    return jnp.sum(losses) / valid_seg, bank
+    loss = jnp.sum(losses) / valid_seg
+    if new_prototypes is not None:
+        return loss, bank, new_prototypes
+    return loss, bank

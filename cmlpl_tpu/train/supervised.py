@@ -49,7 +49,7 @@ class SupervisedTrainer:
         self.augment = augment
         self._donate = (0,) if donate else ()
         self.optimizer = optax.adam(lr)
-        self._step_fn = self._build_step()
+        self._step_fn, self._run_fn = self._build_step()
 
     # -- model plumbing -------------------------------------------------- #
     def _apply(self, variables, xp, x, *, train, rngs=None, mutable=False):
@@ -130,49 +130,99 @@ class SupervisedTrainer:
                 batch_stats=new_stats, opt_state=opt_state,
                 rng=rng, step=state.step + 1), metrics
 
+        def run_fn(state, padded, spectra, lab_idx, lab_y, cols: int):
+            """All steps of the whole schedule as one lax.scan dispatch
+            (batch arrays stacked (T, B))."""
+
+            def body(carry, inputs):
+                li, ly = inputs
+                return step(carry, padded, spectra, li, ly, cols)
+
+            return jax.lax.scan(body, state, (lab_idx, lab_y))
+
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             batch_sh = NamedSharding(self.mesh, P("data"))
-            return jax.jit(step, static_argnums=(5,),
-                           in_shardings=(repl, repl, repl, batch_sh,
-                                         batch_sh),
-                           out_shardings=(repl, repl),
-                           donate_argnums=self._donate)
-        return jax.jit(step, static_argnums=(5,),
-                       donate_argnums=self._donate)
+            run_sh = NamedSharding(self.mesh, P(None, "data"))
+            return (jax.jit(step, static_argnums=(5,),
+                            in_shardings=(repl, repl, repl, batch_sh,
+                                          batch_sh),
+                            out_shardings=(repl, repl),
+                            donate_argnums=self._donate),
+                    jax.jit(run_fn, static_argnums=(5,),
+                            in_shardings=(repl, repl, repl, run_sh,
+                                          run_sh),
+                            out_shardings=(repl, repl),
+                            donate_argnums=self._donate))
+        return (jax.jit(step, static_argnums=(5,),
+                        donate_argnums=self._donate),
+                jax.jit(run_fn, static_argnums=(5,),
+                        donate_argnums=self._donate))
 
     def train_step(self, state, scene: PreparedScene, lab_idx, lab_y):
         return self._step_fn(state, scene.padded_pca, scene.spectra,
                              jnp.asarray(lab_idx), jnp.asarray(lab_y),
                              scene.cols)
 
-    def fit(self, state, scene: PreparedScene, train_idx: np.ndarray,
-            labels: np.ndarray, *, batch_size: int = 128,
-            num_epochs: int = 100, epoch_samples: Optional[int] = None,
-            seed: int = 1088, log_every: int = 10, log_fn=print):
-        """Epoch driver over the labeled split (tiled like the reference's
-        max_iters loaders when epoch_samples is given)."""
+    def train_run(self, state, scene: PreparedScene, lab_idx, lab_y):
+        """All steps (stacked (T, B) index/label arrays) in one dispatch."""
+        return self._run_fn(state, scene.padded_pca, scene.spectra,
+                            jnp.asarray(lab_idx), jnp.asarray(lab_y),
+                            scene.cols)
+
+    def _schedule(self, train_idx, labels, batch_size, num_epochs,
+                  epoch_samples, seed):
+        """Pre-draw every epoch's shuffled batches -> (T, B) arrays."""
         rng = np.random.default_rng(seed)
         idx = np.asarray(train_idx)
-        history = []
-        for epoch in range(num_epochs):
+        all_li, all_ly = [], []
+        for _ in range(num_epochs):
             perm = rng.permutation(idx)
             if epoch_samples:
                 reps = -(-epoch_samples // len(perm))
                 perm = np.tile(perm, reps)[:epoch_samples]
-            n_batches = max(len(perm) // batch_size, 1)
             bs = min(batch_size, len(perm))
+            n_batches = max(len(perm) // bs, 1)
             for b in range(n_batches):
                 li = perm[b * bs:(b + 1) * bs]
                 if len(li) < bs:
                     break
-                ly = (labels[li] - 1).astype(np.int32)
-                state, metrics = self.train_step(state, scene,
-                                                 li.astype(np.int32), ly)
-                history.append(metrics)
-            if log_every and (epoch + 1) % log_every == 0:
-                m = jax.device_get(history[-1])
-                log_fn(f"Epoch {epoch + 1}/{num_epochs} "
+                all_li.append(li.astype(np.int32))
+                all_ly.append((labels[li] - 1).astype(np.int32))
+        return np.stack(all_li), np.stack(all_ly)
+
+    def fit(self, state, scene: PreparedScene, train_idx: np.ndarray,
+            labels: np.ndarray, *, batch_size: int = 128,
+            num_epochs: int = 100, epoch_samples: Optional[int] = None,
+            seed: int = 1088, log_every: int = 10, log_fn=print,
+            scan_run: bool = True):
+        """Epoch driver over the labeled split (tiled like the reference's
+        max_iters loaders when epoch_samples is given).  ``scan_run``
+        fuses the whole schedule into one dispatch."""
+        li, ly = self._schedule(train_idx, labels, batch_size, num_epochs,
+                                epoch_samples, seed)
+        if scan_run:
+            state, stacked = self.train_run(state, scene, li, ly)
+            stacked = jax.device_get(stacked)
+            t = li.shape[0]
+            history = [{k: v[i] for k, v in stacked.items()}
+                       for i in range(t)]
+            if log_every:
+                per_epoch = max(t // num_epochs, 1)
+                for epoch in range(log_every - 1, num_epochs, log_every):
+                    i = min((epoch + 1) * per_epoch, t) - 1
+                    m = history[i]
+                    log_fn(f"Epoch {epoch + 1}/{num_epochs} "
+                           f"cls_loss={float(m['cls_loss']):.4f} "
+                           f"acc={float(m['acc']) * 100:.2f}")
+            return state, history
+        history = []
+        for i in range(li.shape[0]):
+            state, metrics = self.train_step(state, scene, li[i], ly[i])
+            history.append(metrics)
+            if log_every and (i + 1) % log_every == 0:
+                m = jax.device_get(metrics)
+                log_fn(f"step {i + 1}/{li.shape[0]} "
                        f"cls_loss={float(m['cls_loss']):.4f} "
                        f"acc={float(m['acc']) * 100:.2f}")
         return state, history

@@ -94,3 +94,30 @@ def test_validation_accuracy(tiny_scene, tiny_splits):
         num_classes=9, verbose=False)
     assert 0.0 <= oa <= 1.0
     assert per_class.shape == (9,)
+
+
+def test_memobank_ema_prototypes(rng):
+    n, d, c = 32, 8, 4
+    rep = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    rep_t = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    probs = jnp.asarray(rng.dirichlet(np.ones(c), size=n).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, c, size=n))
+    low = jnp.ones(n, bool)
+    high = jnp.ones(n, bool)
+    bank = memobank_init(c, 64, d)
+    protos = jnp.zeros((c, d))
+    loss, bank, protos = memobank_contrastive(
+        rep, rep_t, probs, labels, low, high, bank, jax.random.key(0),
+        num_queries=8, num_negatives=4, momentum_prototypes=protos,
+        i_iter=1)
+    assert np.isfinite(float(loss))
+    assert float(jnp.sum(jnp.abs(protos))) > 0  # prototypes now warm
+    # second call with new teacher features: EMA blend pulls prototypes
+    # halfway (decay = 1 - 1/2) between batch mean and running state
+    rep_t2 = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    loss2, bank, protos2 = memobank_contrastive(
+        rep, rep_t2, probs, labels, low, high, bank, jax.random.key(1),
+        num_queries=8, num_negatives=4, momentum_prototypes=protos,
+        i_iter=2)
+    assert np.all(np.isfinite(np.asarray(protos2)))
+    assert not np.allclose(np.asarray(protos2), np.asarray(protos))

@@ -19,7 +19,8 @@ def base_scene():
     return scene
 
 
-def _train_and_eval(name, scene, n_pc, w, augment=False, epochs=12):
+def _train_and_eval(name, scene, n_pc, w, augment=False, epochs=12,
+                    scan_run=True):
     spec = get_dataset(0)
     model, entry = build_model(name, spec, n_pc)
     splits = generate_splits(scene.labels, num_label=5)
@@ -29,7 +30,7 @@ def _train_and_eval(name, scene, n_pc, w, augment=False, epochs=12):
     state = trainer.init_state(jax.random.key(0))
     state, history = trainer.fit(
         state, scene, splits.train, scene.labels, batch_size=45,
-        num_epochs=epochs, log_every=0)
+        num_epochs=epochs, log_every=0, scan_run=scan_run)
     predictor = ScenePredictor(trainer.logits_fn(), patch_size=w,
                                cols=scene.cols, tile=256)
     pred = predictor(trainer.eval_variables(state), scene)
@@ -38,7 +39,7 @@ def _train_and_eval(name, scene, n_pc, w, augment=False, epochs=12):
 
 
 def test_dbda_supervised_end_to_end(base_scene):
-    acc, history = _train_and_eval("dbda", base_scene, 103, 9)
+    acc, history = _train_and_eval("dbda", base_scene, 103, 9, scan_run=False)
     assert float(history[-1]["cls_loss"]) < float(history[0]["cls_loss"])
     # 12 steps only exercise the pipeline, not the model: BatchNorm
     # running stats are barely warmed — just require above chance (1/9)
@@ -55,5 +56,5 @@ def test_basenet2_supervised_with_augment(base_scene):
 def test_ssftt_supervised_smoke():
     cube, gt = synthetic_scene(0)
     scene = prepare_scene(0, cube=cube, gt=gt, patch_size=13, n_pc=5)
-    acc, history = _train_and_eval("ssftt", scene, 5, 13, epochs=4)
+    acc, history = _train_and_eval("ssftt", scene, 5, 13, epochs=4, scan_run=False)
     assert np.isfinite(float(history[-1]["cls_loss"]))
