@@ -52,7 +52,9 @@ class CPSTrainer:
         self._donate = (0,) if donate else ()
         self.model = BaseNet2(
             num_features=config.num_features, dropout=config.dropout,
-            num_classes=config.num_classes, n_pc=config.n_pc)
+            num_classes=config.num_classes, n_pc=config.n_pc,
+            dtype=(jnp.bfloat16 if config.compute_dtype == "bfloat16"
+                   else None))
         self.optimizer = optax.adam(config.lr)
         self._step_fn, self._epoch_fn = self._build_step()
 
