@@ -15,7 +15,7 @@ import os
 import numpy as np
 
 from cmlpl_tpu.data.io import load_scene
-from cmlpl_tpu.data.patches import pad_symmetric, patch_pad_width
+from cmlpl_tpu.data.patches import patch_pad_width
 from cmlpl_tpu.data.prep import feature_normalize, pca_norm
 from cmlpl_tpu.data.splits import generate_splits
 from cmlpl_tpu.registry import get_dataset

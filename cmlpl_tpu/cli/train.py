@@ -6,9 +6,6 @@ from __future__ import annotations
 import os
 import time
 
-import jax
-import numpy as np
-
 from cmlpl_tpu.cli._common import (
     base_parser,
     build_config,
@@ -57,17 +54,17 @@ def main(argv=None):
 
     runs_b, runs_e = [], []
     state = None
-    for index_iter in range(args.num_iters):
-        import jax as _jax
+    import jax
 
-        state = trainer.init_state(_jax.random.fold_in(rng, index_iter))
+    for index_iter in range(args.num_iters):
+        state = trainer.init_state(jax.random.fold_in(rng, index_iter))
         start_epoch = 0
         if args.resume and args.checkpoint_dir and index_iter == 0:
             from cmlpl_tpu.utils.checkpoint import restore_checkpoint
 
             try:
                 state = restore_checkpoint(args.checkpoint_dir,
-                                           _jax.device_get(state))
+                                           jax.device_get(state))
                 start_epoch = int(state.step) // batches_per_epoch
                 print(f"resumed from step {int(state.step)} "
                       f"(epoch {start_epoch})")

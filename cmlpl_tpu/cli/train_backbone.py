@@ -12,8 +12,6 @@ from __future__ import annotations
 import os
 import time
 
-import jax
-
 from cmlpl_tpu.cli._common import base_parser, report_accuracy, save_path
 from cmlpl_tpu.core.mesh import create_mesh
 from cmlpl_tpu.core.rng import seed_everything

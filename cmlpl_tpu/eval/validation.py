@@ -10,8 +10,6 @@ from __future__ import annotations
 
 from typing import Callable
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from cmlpl_tpu.data.prep import PreparedScene

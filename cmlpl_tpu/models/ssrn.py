@@ -12,7 +12,6 @@ from __future__ import annotations
 import math
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 
 class Residual3D(nn.Module):

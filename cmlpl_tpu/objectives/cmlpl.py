@@ -11,7 +11,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
-from jax import lax, nn as jnn
+from jax import nn as jnn
 
 
 def adaptive_threshold(epoch: jnp.ndarray, num_epochs: int,

@@ -12,7 +12,7 @@ plain CE, class-weighted CE, and OHEM CE, selected by the same cfg shape:
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Sequence
+from typing import Callable
 
 import jax.numpy as jnp
 from jax import nn as jnn

@@ -21,7 +21,6 @@ TPU-native (behaviour-preserving):
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
