@@ -57,7 +57,8 @@ class CCTTrainer:
         self.head = LinearClassifier(config.num_classes, in_features=joint)
         self.opt_base = optax.adam(config.lr)
         self.opt_aug = optax.adam(config.lr)
-        self._step_fn, self._epoch_fn = self._build_step()
+        self._step_fn, self._epoch_fn, self._run_fn = \
+            self._build_step()
 
     def init_state(self, rng: jax.Array) -> CCTTrainState:
         cfg = self.config
@@ -172,10 +173,21 @@ class CCTTrainer:
 
             return jax.lax.scan(body, state, (lab_idx, lab_y, unl_idx))
 
+        def run_fn(state, padded, spectra, lab_idx, lab_y, unl_idx,
+                   cols: int):
+            """All epochs in one dispatch ((E, N, B) batch arrays)."""
+
+            def body(carry, inputs):
+                li, ly, ui = inputs
+                return epoch_fn(carry, padded, spectra, li, ly, ui, cols)
+
+            return jax.lax.scan(body, state, (lab_idx, lab_y, unl_idx))
+
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             batch_sh = NamedSharding(self.mesh, P("data"))
             epoch_sh = NamedSharding(self.mesh, P(None, "data"))
+            run_sh = NamedSharding(self.mesh, P(None, None, "data"))
             return (jax.jit(step, static_argnums=(6,),
                             in_shardings=(repl, repl, repl, batch_sh,
                                           batch_sh, batch_sh),
@@ -185,10 +197,17 @@ class CCTTrainer:
                             in_shardings=(repl, repl, repl, epoch_sh,
                                           epoch_sh, epoch_sh),
                             out_shardings=(repl, repl),
+                            donate_argnums=self._donate),
+                    jax.jit(run_fn, static_argnums=(6,),
+                            in_shardings=(repl, repl, repl, run_sh,
+                                          run_sh, run_sh),
+                            out_shardings=(repl, repl),
                             donate_argnums=self._donate))
         return (jax.jit(step, static_argnums=(6,),
                         donate_argnums=self._donate),
                 jax.jit(epoch_fn, static_argnums=(6,),
+                        donate_argnums=self._donate),
+                jax.jit(run_fn, static_argnums=(6,),
                         donate_argnums=self._donate))
 
     def train_step(self, state, scene: PreparedScene, lab_idx, lab_y,
@@ -206,12 +225,46 @@ class CCTTrainer:
             jnp.asarray(lab_idx), jnp.asarray(lab_y), jnp.asarray(unl_idx),
             scene.cols)
 
+    def train_run(self, state, scene: PreparedScene, sampler):
+        """The whole schedule ((E, N, B) pre-drawn batches) in one
+        dispatch."""
+        import numpy as np
+
+        cfg = self.config
+        epochs = []
+        for _ in range(cfg.num_epochs):
+            batches = list(sampler.epoch())
+            epochs.append((np.stack([b[0] for b in batches]),
+                           np.stack([b[1] for b in batches]),
+                           np.stack([b[2] for b in batches])))
+        li = np.stack([e[0] for e in epochs])
+        ly = np.stack([e[1] for e in epochs])
+        ui = np.stack([e[2] for e in epochs])
+        return self._run_fn(
+            state, scene.padded_pca, scene.spectra,
+            jnp.asarray(li), jnp.asarray(ly), jnp.asarray(ui), scene.cols)
+
     def fit(self, state, scene, sampler, *, log_every: int = 10,
             log_fn=print, scan_epochs: bool = True):
         import numpy as np
 
         cfg = self.config
         history = []
+        if scan_epochs and cfg.num_epochs > 1:
+            state, stacked = self.train_run(state, scene, sampler)
+            stacked = jax.device_get(stacked)
+            e, n = next(iter(stacked.values())).shape
+            for ep in range(e):
+                history.extend({k: v[ep, i] for k, v in stacked.items()}
+                               for i in range(n))
+                if log_every:
+                    m = {k: float(np.mean(v[ep, -log_every:]))
+                         for k, v in stacked.items()}
+                    log_fn(f"Epoch {ep + 1}/{cfg.num_epochs}: {n}/{n} "
+                           f"total_loss={m['total_loss']:.4f} "
+                           f"cls_loss={m['cls_loss']:.4f} "
+                           f"acc={m['acc'] * 100:.2f}")
+            return state, history
         for epoch in range(cfg.num_epochs):
             if scan_epochs:
                 batches = list(sampler.epoch())

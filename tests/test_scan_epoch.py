@@ -37,3 +37,36 @@ def test_scanned_epoch_matches_stepwise(tiny_scene, tiny_splits):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
                                    rtol=5e-3, atol=1e-5)
     assert int(s_scan.step) == int(s_step.step)
+
+
+def test_supervised_scan_run_matches_stepwise(tiny_scene, tiny_splits):
+    from cmlpl_tpu.models.zoo import build_model
+    from cmlpl_tpu.registry import get_dataset
+    from cmlpl_tpu.train.supervised import SupervisedTrainer
+
+    spec = get_dataset(0)
+    model, entry = build_model("basenet2", spec, tiny_scene.n_pc)
+
+    def run(scan):
+        trainer = SupervisedTrainer(
+            model, entry, patch_size=tiny_scene.patch_size,
+            n_pc=tiny_scene.n_pc, num_features=spec.num_bands,
+            donate=False)
+        state = trainer.init_state(jax.random.key(0))
+        state, history = trainer.fit(
+            state, tiny_scene, tiny_splits.train, tiny_scene.labels,
+            batch_size=16, num_epochs=3, epoch_samples=32, seed=3,
+            log_every=0, scan_run=scan)
+        return state, history
+
+    s_step, h_step = run(False)
+    s_scan, h_scan = run(True)
+    assert len(h_step) == len(h_scan)
+    for a, b in zip(h_step, h_scan):
+        np.testing.assert_allclose(float(a["cls_loss"]),
+                                   float(b["cls_loss"]),
+                                   rtol=5e-3, atol=1e-5)
+    for pa, pb in zip(jax.tree_util.tree_leaves(s_step.params),
+                      jax.tree_util.tree_leaves(s_scan.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=5e-3, atol=1e-5)
