@@ -1,5 +1,6 @@
 from cmlpl_tpu.core.mesh import (  # noqa: F401
     create_mesh,
+    create_mesh_2d,
     data_sharding,
     replicated_sharding,
     shard_batch,

@@ -22,6 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
@@ -30,6 +31,23 @@ def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def create_mesh_2d(devices: Optional[Sequence[jax.Device]] = None,
+                   tp: int = 1) -> Mesh:
+    """A ("data", "model") mesh: data parallel x tensor parallel.
+
+    The model axis shards the wide spectral dimension (the 1024-d
+    ``feat_spe`` activations/weights and the pseudo-label queue features)
+    — see CMLPLTrainer.state_shardings.  ``tp`` must divide the device
+    count.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    assert n % tp == 0, f"tp={tp} must divide device count {n}"
+    arr = np.asarray(devices).reshape(n // tp, tp)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
 def data_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:

@@ -73,17 +73,18 @@ class CMLPLTrainer:
             dtype=(jnp.bfloat16 if config.compute_dtype == "bfloat16"
                    else None))
         self.optimizer = optax.adam(config.lr)  # torch Adam defaults match
+        self._state_sh = self._state_sharding_tree()
         self._step_fn, self._epoch_fn, self._run_fn = self._build_step()
 
     # ------------------------------------------------------------------ #
-    def init_state(self, rng: jax.Array) -> CMLPLTrainState:
+    def _make_state(self, rng: jax.Array) -> CMLPLTrainState:
         cfg = self.config
         k_b, k_e, k_run = jax.random.split(rng, 3)
         xp = jnp.zeros((1, cfg.patch_size, cfg.patch_size, cfg.n_pc))
         x = jnp.zeros((1, cfg.num_features))
         params_b = self.model.init(k_b, xp, x, train=False)["params"]
         params_e = self.model.init(k_e, xp, x, train=False)["params"]
-        state = CMLPLTrainState(
+        return CMLPLTrainState(
             net_b=NetState(params_b, self.optimizer.init(params_b)),
             net_e=NetState(params_e, self.optimizer.init(params_e)),
             queue_w=queue_init(cfg.queue_size, cfg.feat_dim, cfg.num_classes),
@@ -91,9 +92,57 @@ class CMLPLTrainer:
             rng=k_run,
             step=jnp.zeros((), jnp.int32),
         )
+
+    def _state_sharding_tree(self):
+        """Shardings for every state leaf.
+
+        1-D ("data",) mesh: everything replicated (pure dp).
+        2-D ("data", "model") mesh: tensor parallelism over the wide
+        spectral dimension — feat_spe weights column-sharded (output dim
+        1024 over "model"), the classifier row-sharded (contraction dim),
+        and the pseudo-label queue features feature-sharded.  GSPMD then
+        inserts the TP collectives: psum for the l2-norm and the
+        queue-smoothing similarity matmuls (both contract the sharded
+        1024 dim), all-gathers where replicated activations are needed.
+        Adam moments inherit their parameter's sharding via the same
+        path rules.
+        """
+        mesh = self.mesh
+        if mesh is None:
+            return None
+        repl = NamedSharding(mesh, P())
+        template = jax.eval_shape(self._make_state, jax.random.key(0))
+        if "model" not in mesh.axis_names:
+            return jax.tree_util.tree_map(lambda _: repl, template)
+
+        def param_rule(path, leaf):
+            names = "/".join(str(getattr(k, "key", k)) for k in path)
+            if "feat_spe" in names and leaf.ndim == 2:
+                return NamedSharding(mesh, P(None, "model"))
+            if "feat_spe" in names and leaf.ndim == 1:
+                return NamedSharding(mesh, P("model"))
+            if "classifier" in names and leaf.ndim == 2:
+                return NamedSharding(mesh, P("model", None))
+            return repl
+
+        from jax.tree_util import tree_map_with_path
+
+        def net_sh(net):
+            return NetState(
+                tree_map_with_path(param_rule, net.params),
+                tree_map_with_path(param_rule, net.opt_state))
+
+        queue_sh = type(template.queue_w)(
+            feats=NamedSharding(mesh, P(None, "model")),
+            probs=repl, ptr=repl)
+        return CMLPLTrainState(
+            net_b=net_sh(template.net_b), net_e=net_sh(template.net_e),
+            queue_w=queue_sh, queue_s=queue_sh, rng=repl, step=repl)
+
+    def init_state(self, rng: jax.Array) -> CMLPLTrainState:
+        state = self._make_state(rng)
         if self.mesh is not None:
-            state = jax.device_put(
-                state, NamedSharding(self.mesh, P()))
+            state = jax.device_put(state, self._state_sh)
         return state
 
     # ------------------------------------------------------------------ #
@@ -273,28 +322,29 @@ class CMLPLTrainer:
             batch_sh = NamedSharding(self.mesh, P("data"))
             epoch_sh = NamedSharding(self.mesh, P(None, "data"))
             run_sh = NamedSharding(self.mesh, P(None, None, "data"))
+            state_sh = self._state_sh
             jit_step = jax.jit(
                 step,
                 static_argnums=(8,),
-                in_shardings=(repl, repl, repl, batch_sh, batch_sh,
+                in_shardings=(state_sh, repl, repl, batch_sh, batch_sh,
                               batch_sh, repl, repl),
-                out_shardings=(repl, repl),
+                out_shardings=(state_sh, repl),
                 donate_argnums=self._donate,
             )
             jit_epoch = jax.jit(
                 epoch_fn,
                 static_argnums=(8,),
-                in_shardings=(repl, repl, repl, epoch_sh, epoch_sh,
+                in_shardings=(state_sh, repl, repl, epoch_sh, epoch_sh,
                               epoch_sh, repl, repl),
-                out_shardings=(repl, repl),
+                out_shardings=(state_sh, repl),
                 donate_argnums=self._donate,
             )
             jit_run = jax.jit(
                 run_fn,
                 static_argnums=(7,),
-                in_shardings=(repl, repl, repl, run_sh, run_sh, run_sh,
+                in_shardings=(state_sh, repl, repl, run_sh, run_sh, run_sh,
                               repl),
-                out_shardings=(repl, repl),
+                out_shardings=(state_sh, repl),
                 donate_argnums=self._donate,
             )
             return jit_step, jit_epoch, jit_run

@@ -67,3 +67,31 @@ def test_scene_predictor_sharded_matches_unsharded(tiny_scene, mesh):
 
 def test_mesh_covers_all_devices(mesh):
     assert mesh.devices.size == 8
+
+
+def test_cmlpl_dp_tp_mesh_matches_single_device(tiny_scene, tiny_splits):
+    """4 dp x 2 tp: feat_spe/classifier/queue-feature tensor parallelism
+    must be numerically identical to single-device training."""
+    from cmlpl_tpu.core.mesh import create_mesh_2d
+
+    cfg = _cfg(tiny_scene)
+    sampler = SemiSupervisedSampler(tiny_splits, tiny_scene.labels,
+                                    cfg.labeled_batch, cfg.unlabeled_batch,
+                                    num_unlabel=cfg.num_unlabel)
+    li, ly, ui = next(iter(sampler.epoch()))
+
+    t_single = CMLPLTrainer(cfg, donate=False)
+    s_single = t_single.init_state(jax.random.key(0))
+    _, m_single = t_single.train_step(s_single, tiny_scene, li, ly, ui,
+                                      0, 0)
+
+    mesh2d = create_mesh_2d(jax.devices()[:8], tp=2)
+    t_tp = CMLPLTrainer(cfg, mesh=mesh2d, donate=False)
+    s_tp = t_tp.init_state(jax.random.key(0))
+    # the spectral weights really are sharded over the model axis
+    spec = s_tp.net_b.params["feat_spe"]["kernel"].sharding.spec
+    assert tuple(spec) == (None, "model")
+    new_state, m_tp = t_tp.train_step(s_tp, tiny_scene, li, ly, ui, 0, 0)
+    for k in m_single:
+        np.testing.assert_allclose(float(m_single[k]), float(m_tp[k]),
+                                   rtol=2e-3, atol=1e-5, err_msg=k)
