@@ -172,9 +172,18 @@ class SupervisedTrainer:
 
     def _schedule(self, train_idx, labels, batch_size, num_epochs,
                   epoch_samples, seed):
-        """Pre-draw every epoch's shuffled batches -> (T, B) arrays."""
+        """Pre-draw every epoch's shuffled batches -> (T, B) arrays.
+
+        The batch size is rounded to a multiple of the mesh's data-axis
+        size (tiling the split if it is smaller — e.g. 45 labels on an
+        8-chip mesh) so every step shards evenly.
+        """
         rng = np.random.default_rng(seed)
         idx = np.asarray(train_idx)
+        d = 1
+        if self.mesh is not None:
+            d = dict(zip(self.mesh.axis_names,
+                         self.mesh.devices.shape)).get("data", 1)
         all_li, all_ly = [], []
         for _ in range(num_epochs):
             perm = rng.permutation(idx)
@@ -182,6 +191,9 @@ class SupervisedTrainer:
                 reps = -(-epoch_samples // len(perm))
                 perm = np.tile(perm, reps)[:epoch_samples]
             bs = min(batch_size, len(perm))
+            bs = max((bs // d) * d, d)
+            if len(perm) < bs:
+                perm = np.tile(perm, -(-bs // len(perm)))[:bs]
             n_batches = max(len(perm) // bs, 1)
             for b in range(n_batches):
                 li = perm[b * bs:(b + 1) * bs]

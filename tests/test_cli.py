@@ -1,0 +1,58 @@
+"""CLI end-to-end regression: sample_generation -> train -> predict on
+the synthetic scene, through the real mains (tiny sizes)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+ARGS = ["--dataID", "0", "--n_PC", "16", "--num_epochs", "2",
+        "--labeled_batch_size", "16", "--unlabeled_batch_size", "16",
+        "--num_unlabel", "64", "--val_batch_size", "256",
+        "--dropout", "0.5", "--print_per_batches", "0"]
+
+
+@pytest.fixture()
+def workdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def test_sample_generation_cli(workdir):
+    from cmlpl_tpu.cli.sample_generation import main
+
+    main(["--dataID", "0", "--num_label", "5", "--n_PC", "16",
+          "--data_root", "./dataset"])
+    out = os.path.join("dataset", "Synthetic")
+    for f in ["X.npy", "Y.npy", "train_array.npy", "test_array.npy",
+              "unlabel_array.npy"]:
+        assert os.path.exists(os.path.join(out, f)), f
+    train = np.load(os.path.join(out, "train_array.npy"))
+    assert train.shape == (45,)
+
+
+def test_train_then_predict_cli(workdir):
+    from cmlpl_tpu.cli.predict import main as predict_main
+    from cmlpl_tpu.cli.train import main as train_main
+
+    acc_b, acc_e = train_main(ARGS + ["--checkpoint_dir", "./ckpt"])
+    assert 0.0 <= acc_b.oa <= 1.0
+    assert os.path.exists("Experiment_0/label_5/cmlpl_results.csv")
+    svgs = [f for f in os.listdir("Experiment_0/label_5")
+            if f.endswith(".svg")]
+    assert svgs
+
+    pred = predict_main(ARGS + ["--checkpoint_dir", "./ckpt",
+                                "--out", "./map.svg"])
+    assert os.path.exists("./map.svg")
+    assert pred.shape == (64 * 48,)
+
+
+def test_train_backbone_cli(workdir):
+    from cmlpl_tpu.cli.train_backbone import main
+
+    acc = main(["--dataID", "0", "--model", "basenet2", "--n_PC", "16",
+                "--num_epochs", "4", "--labeled_batch_size", "45",
+                "--val_batch_size", "256", "--print_per_batches", "0"])
+    assert 0.0 <= acc.oa <= 1.0
