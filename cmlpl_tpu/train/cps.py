@@ -49,6 +49,14 @@ class CPSTrainer:
         donate for buffer reuse)."""
         self.config = config
         self.mesh = mesh
+
+        if mesh is not None:
+            d = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+            if config.labeled_batch % d or config.unlabeled_batch % d:
+                raise ValueError(
+                    f"labeled/unlabeled batch sizes "
+                    f"({config.labeled_batch}/{config.unlabeled_batch}) "
+                    f"must be divisible by the mesh data-axis size {d}")
         self._donate = (0,) if donate else ()
         self.model = BaseNet2(
             num_features=config.num_features, dropout=config.dropout,
