@@ -56,3 +56,16 @@ def test_train_backbone_cli(workdir):
                 "--num_epochs", "4", "--labeled_batch_size", "45",
                 "--val_batch_size", "256", "--print_per_batches", "0"])
     assert 0.0 <= acc.oa <= 1.0
+
+
+def test_cps_and_cct_cli(workdir):
+    from cmlpl_tpu.cli.train_cct import main as cct_main
+    from cmlpl_tpu.cli.train_cps import main as cps_main
+
+    acc_b, acc_e = cps_main(ARGS)
+    assert 0.0 <= acc_b.oa <= 1.0
+    assert os.path.exists("Experiment_0/label_5/cps_results.csv")
+
+    acc = cct_main(ARGS)
+    assert 0.0 <= acc.oa <= 1.0
+    assert os.path.exists("Experiment_0/label_5/cct_results.csv")
