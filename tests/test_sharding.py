@@ -10,7 +10,12 @@ from cmlpl_tpu.core.mesh import create_mesh
 from cmlpl_tpu.data import SemiSupervisedSampler
 from cmlpl_tpu.eval import ScenePredictor
 from cmlpl_tpu.models import BaseNet2
-from cmlpl_tpu.train import CMLPLConfig, CMLPLTrainer
+from cmlpl_tpu.train import (
+    CCTTrainer,
+    CMLPLConfig,
+    CMLPLTrainer,
+    CPSTrainer,
+)
 
 
 @pytest.fixture(scope="module")
@@ -94,4 +99,73 @@ def test_cmlpl_dp_tp_mesh_matches_single_device(tiny_scene, tiny_splits):
     new_state, m_tp = t_tp.train_step(s_tp, tiny_scene, li, ly, ui, 0, 0)
     for k in m_single:
         np.testing.assert_allclose(float(m_single[k]), float(m_tp[k]),
+                                   rtol=2e-3, atol=1e-5, err_msg=k)
+
+
+def _first_batch(tiny_scene, tiny_splits, cfg):
+    sampler = SemiSupervisedSampler(tiny_splits, tiny_scene.labels,
+                                    cfg.labeled_batch, cfg.unlabeled_batch,
+                                    num_unlabel=cfg.num_unlabel)
+    return next(iter(sampler.epoch()))
+
+
+def test_cps_step_on_mesh_matches_single_device(tiny_scene, tiny_splits,
+                                                mesh):
+    cfg = _cfg(tiny_scene)
+    li, ly, ui = _first_batch(tiny_scene, tiny_splits, cfg)
+
+    t_single = CPSTrainer(cfg, donate=False)
+    s_single = t_single.init_state(jax.random.key(0))
+    _, m_single = t_single.train_step(s_single, tiny_scene, li, ly, ui)
+
+    t_mesh = CPSTrainer(cfg, mesh=mesh, donate=False)
+    s_mesh = t_mesh.init_state(jax.random.key(0))
+    new_state, m_mesh = t_mesh.train_step(s_mesh, tiny_scene, li, ly, ui)
+    for k in m_single:
+        np.testing.assert_allclose(float(m_single[k]), float(m_mesh[k]),
+                                   rtol=2e-3, atol=1e-5, err_msg=k)
+    assert int(new_state.step) == 1
+
+
+def test_cct_step_on_mesh_matches_single_device(tiny_scene, tiny_splits,
+                                                mesh):
+    cfg = _cfg(tiny_scene)
+    li, ly, ui = _first_batch(tiny_scene, tiny_splits, cfg)
+
+    t_single = CCTTrainer(cfg, donate=False)
+    s_single = t_single.init_state(jax.random.key(0))
+    _, m_single = t_single.train_step(s_single, tiny_scene, li, ly, ui)
+
+    t_mesh = CCTTrainer(cfg, mesh=mesh, donate=False)
+    s_mesh = t_mesh.init_state(jax.random.key(0))
+    new_state, m_mesh = t_mesh.train_step(s_mesh, tiny_scene, li, ly, ui)
+    for k in m_single:
+        np.testing.assert_allclose(float(m_single[k]), float(m_mesh[k]),
+                                   rtol=2e-3, atol=1e-5, err_msg=k)
+    assert int(new_state.step) == 1
+
+
+def test_supervised_step_on_mesh_matches_single_device(tiny_scene,
+                                                       tiny_splits, mesh):
+    from cmlpl_tpu.models.zoo import build_model
+    from cmlpl_tpu.registry import get_dataset
+    from cmlpl_tpu.train.supervised import SupervisedTrainer
+
+    spec = get_dataset(0)
+    li = tiny_splits.train[:16].astype(np.int32)
+    ly = (tiny_scene.labels[li] - 1).astype(np.int32)
+
+    metrics = []
+    for m in [None, mesh]:
+        model, entry = build_model("basenet2", spec, tiny_scene.n_pc)
+        trainer = SupervisedTrainer(
+            model, entry, patch_size=tiny_scene.patch_size,
+            n_pc=tiny_scene.n_pc, num_features=spec.num_bands,
+            mesh=m, donate=False)
+        state = trainer.init_state(jax.random.key(0))
+        _, got = trainer.train_step(state, tiny_scene, li, ly)
+        metrics.append(got)
+    for k in metrics[0]:
+        np.testing.assert_allclose(float(metrics[0][k]),
+                                   float(metrics[1][k]),
                                    rtol=2e-3, atol=1e-5, err_msg=k)
