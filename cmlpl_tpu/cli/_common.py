@@ -101,6 +101,48 @@ def build_data(args):
     return spec, scene, splits, sampler
 
 
+def make_epoch_hook(args):
+    """Periodic-checkpoint hook for fit(on_epoch_end=...), or None when
+    --checkpoint_dir/--checkpoint_every are not set."""
+    if not (args.checkpoint_dir and args.checkpoint_every):
+        return None
+    from cmlpl_tpu.utils.checkpoint import save_checkpoint
+
+    def hook(epoch, st):
+        if (epoch + 1) % args.checkpoint_every == 0:
+            save_checkpoint(args.checkpoint_dir, st)
+
+    return hook
+
+
+def maybe_resume(args, state, batches_per_epoch: int):
+    """--resume: restore the latest checkpoint into ``state``'s structure
+    and derive the epoch to restart from; returns (state, start_epoch)."""
+    if not (args.resume and args.checkpoint_dir):
+        return state, 0
+    import jax
+
+    from cmlpl_tpu.utils.checkpoint import restore_checkpoint
+
+    try:
+        state = restore_checkpoint(args.checkpoint_dir,
+                                   jax.device_get(state))
+        start_epoch = int(state.step) // batches_per_epoch
+        print(f"resumed from step {int(state.step)} "
+              f"(epoch {start_epoch})")
+        return state, start_epoch
+    except FileNotFoundError:
+        print("no checkpoint to resume from; starting fresh")
+        return state, 0
+
+
+def save_final_checkpoint(args, state) -> None:
+    if args.checkpoint_dir:
+        from cmlpl_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(args.checkpoint_dir, state)
+
+
 def save_path(args, spec) -> str:
     path = os.path.join(
         args.save_path_prefix, f"Experiment_{spec.data_id}",

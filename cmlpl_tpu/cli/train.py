@@ -10,7 +10,10 @@ from cmlpl_tpu.cli._common import (
     base_parser,
     build_config,
     build_data,
+    make_epoch_hook,
+    maybe_resume,
     report_accuracy,
+    save_final_checkpoint,
     save_path,
 )
 from cmlpl_tpu.core.mesh import create_mesh
@@ -39,19 +42,6 @@ def main(argv=None):
     y_test = scene.labels[splits.test] - 1
     out = save_path(args, spec)
 
-    batches_per_epoch = sampler.batches_per_epoch
-
-    def make_epoch_hook():
-        if not (args.checkpoint_dir and args.checkpoint_every):
-            return None
-        from cmlpl_tpu.utils.checkpoint import save_checkpoint
-
-        def hook(epoch, st):
-            if (epoch + 1) % args.checkpoint_every == 0:
-                save_checkpoint(args.checkpoint_dir, st)
-
-        return hook
-
     runs_b, runs_e = [], []
     state = None
     import jax
@@ -59,17 +49,9 @@ def main(argv=None):
     for index_iter in range(args.num_iters):
         state = trainer.init_state(jax.random.fold_in(rng, index_iter))
         start_epoch = 0
-        if args.resume and args.checkpoint_dir and index_iter == 0:
-            from cmlpl_tpu.utils.checkpoint import restore_checkpoint
-
-            try:
-                state = restore_checkpoint(args.checkpoint_dir,
-                                           jax.device_get(state))
-                start_epoch = int(state.step) // batches_per_epoch
-                print(f"resumed from step {int(state.step)} "
-                      f"(epoch {start_epoch})")
-            except FileNotFoundError:
-                print("no checkpoint to resume from; starting fresh")
+        if index_iter == 0:
+            state, start_epoch = maybe_resume(args, state,
+                                              sampler.batches_per_epoch)
 
         if args.profile_dir and index_iter == 0:
             from cmlpl_tpu.utils.profiling import trace
@@ -78,12 +60,12 @@ def main(argv=None):
                 state, _ = trainer.fit(
                     state, scene, sampler, log_every=0,
                     start_epoch=start_epoch,
-                    on_epoch_end=make_epoch_hook())
+                    on_epoch_end=make_epoch_hook(args))
                 start_epoch = cfg.num_epochs  # whole run traced
         state, _ = trainer.fit(state, scene, sampler,
                                log_every=args.print_per_batches,
                                start_epoch=start_epoch,
-                               on_epoch_end=make_epoch_hook())
+                               on_epoch_end=make_epoch_hook(args))
 
         t0 = time.time()
         pred_b = predictor(state.net_b.params, scene)
@@ -108,10 +90,7 @@ def main(argv=None):
         oas = np.array([r.oa for r in runs_b])
         print(f"mean_OA ± std_OA is: {oas.mean()} ± {oas.std()}")
 
-    if args.checkpoint_dir:
-        from cmlpl_tpu.utils.checkpoint import save_checkpoint
-
-        save_checkpoint(args.checkpoint_dir, state)
+    save_final_checkpoint(args, state)
     return runs_b[-1], runs_e[-1]
 
 

@@ -12,7 +12,14 @@ from __future__ import annotations
 import os
 import time
 
-from cmlpl_tpu.cli._common import base_parser, report_accuracy, save_path
+from cmlpl_tpu.cli._common import (
+    base_parser,
+    make_epoch_hook,
+    maybe_resume,
+    report_accuracy,
+    save_final_checkpoint,
+    save_path,
+)
 from cmlpl_tpu.core.mesh import create_mesh
 from cmlpl_tpu.core.rng import seed_everything
 from cmlpl_tpu.data import generate_splits, prepare_scene
@@ -53,11 +60,15 @@ def main(argv=None):
         model, entry, lr=args.lr, patch_size=w, n_pc=n_pc,
         num_features=spec.num_bands, mesh=mesh, augment=args.augment)
     state = trainer.init_state(rng)
+    bs = min(args.labeled_batch_size, len(splits.train))
+    state, start_epoch = maybe_resume(
+        args, state,
+        trainer.steps_per_epoch(len(splits.train), bs, args.epoch_samples))
     state, _ = trainer.fit(
-        state, scene, splits.train, scene.labels,
-        batch_size=min(args.labeled_batch_size, len(splits.train)),
+        state, scene, splits.train, scene.labels, batch_size=bs,
         num_epochs=args.num_epochs, epoch_samples=args.epoch_samples,
-        log_every=args.print_per_batches)
+        log_every=args.print_per_batches, start_epoch=start_epoch,
+        on_epoch_end=make_epoch_hook(args))
 
     predictor = ScenePredictor(trainer.logits_fn(), patch_size=w,
                                cols=scene.cols, tile=args.val_batch_size,
@@ -75,6 +86,7 @@ def main(argv=None):
         os.path.join(out, f"{args.model}_OA_{int(acc.oa * 10000)}.svg"),
         pred + 1, spec, rows=scene.rows, cols=scene.cols)
     save_report(os.path.join(out, f"{args.model}_results.csv"), [acc])
+    save_final_checkpoint(args, state)
     return acc
 
 

@@ -9,7 +9,10 @@ from cmlpl_tpu.cli._common import (
     base_parser,
     build_config,
     build_data,
+    make_epoch_hook,
+    maybe_resume,
     report_accuracy,
+    save_final_checkpoint,
     save_path,
 )
 from cmlpl_tpu.core.mesh import create_mesh
@@ -28,8 +31,12 @@ def main(argv=None):
     rng = seed_everything(args.seed, impl=args.rng_impl)
     trainer = CCTTrainer(cfg, mesh=mesh)
     state = trainer.init_state(rng)
+    state, start_epoch = maybe_resume(args, state,
+                                      sampler.batches_per_epoch)
     state, _ = trainer.fit(state, scene, sampler,
-                           log_every=args.print_per_batches)
+                           log_every=args.print_per_batches,
+                           start_epoch=start_epoch,
+                           on_epoch_end=make_epoch_hook(args))
 
     encoder, head = trainer.encoder, trainer.head
 
@@ -56,6 +63,7 @@ def main(argv=None):
         os.path.join(out, f"CCT_OA_{int(acc.oa * 10000)}.svg"),
         pred + 1, spec, rows=scene.rows, cols=scene.cols)
     save_report(os.path.join(out, "cct_results.csv"), [acc])
+    save_final_checkpoint(args, state)
     return acc
 
 

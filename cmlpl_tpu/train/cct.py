@@ -30,6 +30,7 @@ from cmlpl_tpu.models.basenet import CCTNet, LinearClassifier
 from cmlpl_tpu.objectives.cct import softmax_js_loss
 from cmlpl_tpu.objectives.supervised import cross_entropy
 from cmlpl_tpu.train.cmlpl import _gather_patches_local
+from cmlpl_tpu.train.driver import EpochDriver, stack_schedule
 from cmlpl_tpu.train.state import CMLPLConfig
 
 
@@ -41,7 +42,7 @@ class CCTTrainState(NamedTuple):
     step: jax.Array
 
 
-class CCTTrainer:
+class CCTTrainer(EpochDriver):
     def __init__(self, config: CMLPLConfig, mesh: Mesh | None = None,
                  donate: bool = True):
         """``donate=False`` keeps input state buffers alive (useful in
@@ -236,70 +237,14 @@ class CCTTrainer:
     def train_run(self, state, scene: PreparedScene, sampler):
         """The whole schedule ((E, N, B) pre-drawn batches) in one
         dispatch."""
-        import numpy as np
-
-        cfg = self.config
-        epochs = []
-        for _ in range(cfg.num_epochs):
-            batches = list(sampler.epoch())
-            epochs.append((np.stack([b[0] for b in batches]),
-                           np.stack([b[1] for b in batches]),
-                           np.stack([b[2] for b in batches])))
-        li = np.stack([e[0] for e in epochs])
-        ly = np.stack([e[1] for e in epochs])
-        ui = np.stack([e[2] for e in epochs])
+        li, ly, ui = stack_schedule(sampler, self.config.num_epochs)
         return self._run_fn(
             state, scene.padded_pca, scene.spectra,
             jnp.asarray(li), jnp.asarray(ly), jnp.asarray(ui), scene.cols)
 
-    def fit(self, state, scene, sampler, *, log_every: int = 10,
-            log_fn=print, scan_epochs: bool = True):
-        import numpy as np
-
-        cfg = self.config
-        history = []
-        if scan_epochs and cfg.num_epochs > 1:
-            state, stacked = self.train_run(state, scene, sampler)
-            stacked = jax.device_get(stacked)
-            e, n = next(iter(stacked.values())).shape
-            for ep in range(e):
-                history.extend({k: v[ep, i] for k, v in stacked.items()}
-                               for i in range(n))
-                if log_every:
-                    m = {k: float(np.mean(v[ep, -log_every:]))
-                         for k, v in stacked.items()}
-                    log_fn(f"Epoch {ep + 1}/{cfg.num_epochs}: {n}/{n} "
-                           f"total_loss={m['total_loss']:.4f} "
-                           f"cls_loss={m['cls_loss']:.4f} "
-                           f"acc={m['acc'] * 100:.2f}")
-            return state, history
-        for epoch in range(cfg.num_epochs):
-            if scan_epochs:
-                batches = list(sampler.epoch())
-                li = np.stack([b[0] for b in batches])
-                ly = np.stack([b[1] for b in batches])
-                ui = np.stack([b[2] for b in batches])
-                state, stacked = self.train_epoch(state, scene, li, ly, ui)
-                stacked = jax.device_get(stacked)
-                n = li.shape[0]
-                history.extend(
-                    {k: v[i] for k, v in stacked.items()} for i in range(n))
-                if log_every:
-                    m = {k: float(np.mean(v[-log_every:]))
-                         for k, v in stacked.items()}
-                    log_fn(f"Epoch {epoch + 1}/{cfg.num_epochs}: {n}/{n} "
-                           f"total_loss={m['total_loss']:.4f} "
-                           f"cls_loss={m['cls_loss']:.4f} "
-                           f"acc={m['acc'] * 100:.2f}")
-                continue
-            for batch_index, (li, ly, ui) in enumerate(sampler.epoch()):
-                state, metrics = self.train_step(state, scene, li, ly, ui)
-                history.append(metrics)
-                if log_every and (batch_index + 1) % log_every == 0:
-                    m = jax.device_get(metrics)
-                    log_fn(f"Epoch {epoch + 1}/{cfg.num_epochs}: "
-                           f"{batch_index + 1}/{sampler.batches_per_epoch} "
-                           f"total_loss={float(m['total_loss']):.4f} "
-                           f"cls_loss={float(m['cls_loss']):.4f} "
-                           f"acc={float(m['acc']) * 100:.2f}")
-        return state, history
+    def _format_log(self, epoch, batch_index, num_batches, m):
+        return (f"Epoch {epoch + 1}/{self.config.num_epochs}: "
+                f"{batch_index + 1}/{num_batches} "
+                f"total_loss={m['total_loss']:.4f} "
+                f"cls_loss={m['cls_loss']:.4f} "
+                f"acc={m['acc'] * 100:.2f}")

@@ -41,6 +41,7 @@ from cmlpl_tpu.objectives.cmlpl import (
 )
 from cmlpl_tpu.objectives.queue import memory_smooth, queue_init, queue_update
 from cmlpl_tpu.objectives.supervised import cross_entropy
+from cmlpl_tpu.train.driver import EpochDriver, stack_schedule
 from cmlpl_tpu.train.state import CMLPLConfig, CMLPLTrainState, NetState
 
 
@@ -56,7 +57,7 @@ def _gather_patches_local(padded, pixel_idx, cols, w):
     return jax.vmap(one)(r, c)
 
 
-class CMLPLTrainer:
+class CMLPLTrainer(EpochDriver):
     """Builds and drives the fused CMLPL train step."""
 
     def __init__(self, config: CMLPLConfig, mesh: Mesh | None = None,
@@ -398,15 +399,7 @@ class CMLPLTrainer:
         scans over them on device; returns (state, metrics stacked
         (E, N))."""
         cfg = self.config
-        epochs = []
-        for _ in range(cfg.num_epochs):
-            batches = list(sampler.epoch())
-            epochs.append((np.stack([b[0] for b in batches]),
-                           np.stack([b[1] for b in batches]),
-                           np.stack([b[2] for b in batches])))
-        li = np.stack([e[0] for e in epochs])
-        ly = np.stack([e[1] for e in epochs])
-        ui = np.stack([e[2] for e in epochs])
+        li, ly, ui = stack_schedule(sampler, cfg.num_epochs)
         adap = np.asarray([self._adaptive_thr(e)
                            for e in range(cfg.num_epochs)], np.float32)
         return self._run_fn(
@@ -414,68 +407,14 @@ class CMLPLTrainer:
             jnp.asarray(li), jnp.asarray(ly), jnp.asarray(ui),
             jnp.asarray(adap), scene.cols)
 
-    # ------------------------------------------------------------------ #
-    def fit(self, state, scene: PreparedScene, sampler, *,
-            log_every: int = 10, log_fn=print, scan_epochs: bool = True,
-            start_epoch: int = 0, on_epoch_end=None):
-        """Epoch driver (train.py:146-289).  ``scan_epochs`` runs each
-        epoch as one fused scan (identical math; metrics logged from the
-        stacked per-step values after the epoch).  ``start_epoch``
-        supports resume; ``on_epoch_end(epoch, state)`` hooks periodic
-        checkpointing.
+    # -- EpochDriver adapters: thread the epoch through for the adaptive
+    # threshold + queue warmup (train.py:147-148,220-228) ---------------- #
+    def _fit_epoch(self, state, scene, li, ly, ui, epoch: int):
+        return self.train_epoch(state, scene, li, ly, ui, epoch)
 
-        When no per-epoch host work is requested (no hooks, no resume),
-        the whole schedule runs as ONE fused dispatch (``train_run``) —
-        on a remote-attached TPU this is the difference between ~20
-        dispatch round-trips and one."""
-        cfg = self.config
-        history = []
-        if (scan_epochs and start_epoch == 0 and on_epoch_end is None
-                and cfg.num_epochs > 1):
-            state, stacked = self.train_run(state, scene, sampler)
-            stacked = jax.device_get(stacked)
-            e, n = next(iter(stacked.values())).shape
-            for ep in range(e):
-                history.extend({k: v[ep, i] for k, v in stacked.items()}
-                               for i in range(n))
-                if log_every:
-                    log_fn(self._format_log(ep, n - 1, n, {
-                        k: float(np.mean(v[ep, -log_every:]))
-                        for k, v in stacked.items()}))
-            return state, history
-        for epoch in range(start_epoch, cfg.num_epochs):
-            if scan_epochs:
-                batches = list(sampler.epoch())
-                li = np.stack([b[0] for b in batches])
-                ly = np.stack([b[1] for b in batches])
-                ui = np.stack([b[2] for b in batches])
-                state, stacked = self.train_epoch(state, scene, li, ly, ui,
-                                                  epoch)
-                stacked = jax.device_get(stacked)
-                n = li.shape[0]
-                history.extend(
-                    {k: v[i] for k, v in stacked.items()} for i in range(n))
-                if log_every:
-                    for b in range(log_every - 1, n, log_every):
-                        lo = b - log_every + 1
-                        log_fn(self._format_log(epoch, b, n, {
-                            k: float(np.mean(v[lo:b + 1]))
-                            for k, v in stacked.items()}))
-                if on_epoch_end is not None:
-                    on_epoch_end(epoch, state)
-                continue
-            for batch_index, (li, ly, ui) in enumerate(sampler.epoch()):
-                state, metrics = self.train_step(
-                    state, scene, li, ly, ui, epoch, batch_index)
-                history.append(metrics)
-                if log_every and (batch_index + 1) % log_every == 0:
-                    m = {k: float(v)
-                         for k, v in jax.device_get(metrics).items()}
-                    log_fn(self._format_log(epoch, batch_index,
-                                            sampler.batches_per_epoch, m))
-            if on_epoch_end is not None:
-                on_epoch_end(epoch, state)
-        return state, history
+    def _fit_step(self, state, scene, li, ly, ui, epoch: int,
+                  batch_index: int):
+        return self.train_step(state, scene, li, ly, ui, epoch, batch_index)
 
     def _format_log(self, epoch, batch_index, num_batches, m):
         cfg = self.config

@@ -203,16 +203,51 @@ class SupervisedTrainer:
                 all_ly.append((labels[li] - 1).astype(np.int32))
         return np.stack(all_li), np.stack(all_ly)
 
+    def steps_per_epoch(self, n_train: int, batch_size: int,
+                        epoch_samples: Optional[int] = None) -> int:
+        """Batches per epoch under ``_schedule``'s rounding (for resume
+        bookkeeping: epoch = state.step // steps_per_epoch)."""
+        d = 1
+        if self.mesh is not None:
+            d = dict(zip(self.mesh.axis_names,
+                         self.mesh.devices.shape)).get("data", 1)
+        n = epoch_samples if epoch_samples else n_train
+        bs = min(batch_size, n)
+        bs = max((bs // d) * d, d)
+        n = max(n, bs)
+        return max(n // bs, 1)
+
     def fit(self, state, scene: PreparedScene, train_idx: np.ndarray,
             labels: np.ndarray, *, batch_size: int = 128,
             num_epochs: int = 100, epoch_samples: Optional[int] = None,
             seed: int = 1088, log_every: int = 10, log_fn=print,
-            scan_run: bool = True):
+            scan_run: bool = True, start_epoch: int = 0,
+            on_epoch_end=None):
         """Epoch driver over the labeled split (tiled like the reference's
         max_iters loaders when epoch_samples is given).  ``scan_run``
-        fuses the whole schedule into one dispatch."""
+        fuses the whole schedule into one dispatch; ``start_epoch``
+        supports resume, ``on_epoch_end(epoch, state)`` hooks periodic
+        checkpointing (per-epoch dispatches when either is used)."""
         li, ly = self._schedule(train_idx, labels, batch_size, num_epochs,
                                 epoch_samples, seed)
+        if scan_run and (start_epoch > 0 or on_epoch_end is not None):
+            per_epoch = li.shape[0] // num_epochs
+            history = []
+            for epoch in range(start_epoch, num_epochs):
+                sl = slice(epoch * per_epoch, (epoch + 1) * per_epoch)
+                state, stacked = self.train_run(state, scene, li[sl],
+                                                ly[sl])
+                stacked = jax.device_get(stacked)
+                history.extend({k: v[i] for k, v in stacked.items()}
+                               for i in range(per_epoch))
+                if log_every and (epoch + 1) % log_every == 0:
+                    m = history[-1]
+                    log_fn(f"Epoch {epoch + 1}/{num_epochs} "
+                           f"cls_loss={float(m['cls_loss']):.4f} "
+                           f"acc={float(m['acc']) * 100:.2f}")
+                if on_epoch_end is not None:
+                    on_epoch_end(epoch, state)
+            return state, history
         if scan_run:
             state, stacked = self.train_run(state, scene, li, ly)
             stacked = jax.device_get(stacked)

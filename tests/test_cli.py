@@ -69,3 +69,61 @@ def test_cps_and_cct_cli(workdir):
     acc = cct_main(ARGS)
     assert 0.0 <= acc.oa <= 1.0
     assert os.path.exists("Experiment_0/label_5/cct_results.csv")
+
+
+def _one_epoch(args):
+    out = list(args)
+    out[out.index("--num_epochs") + 1] = "1"
+    return out
+
+
+def _kill_and_resume(main, args, capsys):
+    """Train 1 epoch with a final checkpoint, then resume for epoch 2:
+    the restart must pick up at epoch 1, not retrain from scratch."""
+    main(_one_epoch(args) + ["--checkpoint_dir", "./ckpt"])
+    assert os.path.isdir("ckpt")
+    capsys.readouterr()
+    result = main(args + ["--checkpoint_dir", "./ckpt", "--resume"])
+    captured = capsys.readouterr().out
+    assert "resumed from step" in captured
+    assert "(epoch 1)" in captured
+    return result
+
+
+def test_cps_cli_kill_and_resume(workdir, capsys):
+    from cmlpl_tpu.cli.train_cps import main
+
+    acc_b, _ = _kill_and_resume(main, ARGS, capsys)
+    assert 0.0 <= acc_b.oa <= 1.0
+
+
+def test_cct_cli_kill_and_resume(workdir, capsys):
+    from cmlpl_tpu.cli.train_cct import main
+
+    acc = _kill_and_resume(main, ARGS, capsys)
+    assert 0.0 <= acc.oa <= 1.0
+
+
+def test_backbone_cli_kill_and_resume(workdir, capsys):
+    from cmlpl_tpu.cli.train_backbone import main
+
+    args = ["--dataID", "0", "--model", "basenet2", "--n_PC", "16",
+            "--num_epochs", "4", "--labeled_batch_size", "45",
+            "--val_batch_size", "256", "--print_per_batches", "0",
+            "--checkpoint_dir", "./ckpt"]
+    one = list(args)
+    one[one.index("--num_epochs") + 1] = "2"
+    main(one)
+    capsys.readouterr()
+    acc = main(args + ["--resume"])
+    captured = capsys.readouterr().out
+    assert "resumed from step" in captured
+    assert "(epoch 2)" in captured
+    assert 0.0 <= acc.oa <= 1.0
+
+
+def test_cmlpl_cli_kill_and_resume(workdir, capsys):
+    from cmlpl_tpu.cli.train import main
+
+    acc_b, _ = _kill_and_resume(main, ARGS, capsys)
+    assert 0.0 <= acc_b.oa <= 1.0
