@@ -49,6 +49,17 @@ def base_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="model compute dtype (params stay float32)")
+    p.add_argument("--extra_loss", type=str, default="",
+                   choices=["", "memobank", "mmd", "ntxent"],
+                   help="opt-in extra objective (CMLPL trainer): U2PL "
+                        "memory-bank InfoNCE, labeled/unlabeled MMD, or "
+                        "cross-net NT-Xent")
+    p.add_argument("--extra_weight", type=float, default=0.1,
+                   help="weight of --extra_loss in the total loss")
+    p.add_argument("--augment", nargs="*", default=[],
+                   choices=["flip", "rot90", "radiation", "mixture"],
+                   help="opt-in patch augmentations "
+                        "(hsi_loader.py:58-107, dead in the reference)")
     p.add_argument("--checkpoint_dir", type=str, default=None)
     p.add_argument("--checkpoint_every", type=int, default=0,
                    help="save a checkpoint every N epochs (0 = only at "
@@ -86,6 +97,9 @@ def build_config(args, spec) -> CMLPLConfig:
         seed=args.seed,
         compute_dtype=args.compute_dtype,
         rng_impl=args.rng_impl,
+        extra_loss=args.extra_loss,
+        extra_weight=args.extra_weight,
+        augment=tuple(args.augment),
     )
 
 

@@ -34,8 +34,6 @@ def main(argv=None):
     p = base_parser()
     p.add_argument("--model", type=str, default="ssftt",
                    choices=sorted(ZOO.keys()))
-    p.add_argument("--augment", action="store_true",
-                   help="enable flip/rot90/radiation-noise augmentation")
     p.add_argument("--epoch_samples", type=int, default=None,
                    help="tile the labeled split to this many samples/epoch")
     args = p.parse_args(argv)
@@ -58,7 +56,8 @@ def main(argv=None):
     model, entry = build_model(args.model, spec, n_pc)
     trainer = SupervisedTrainer(
         model, entry, lr=args.lr, patch_size=w, n_pc=n_pc,
-        num_features=spec.num_bands, mesh=mesh, augment=args.augment)
+        num_features=spec.num_bands, mesh=mesh,
+        augment=bool(args.augment))
     state = trainer.init_state(rng)
     bs = min(args.labeled_batch_size, len(splits.train))
     state, start_epoch = maybe_resume(

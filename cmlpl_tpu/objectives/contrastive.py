@@ -145,7 +145,6 @@ def memobank_contrastive(
 
     onehot = jnn.one_hot(labels, num_classes, dtype=jnp.float32)  # (N, C)
     low_valid = onehot * low_entropy_mask[:, None]   # (N, C)
-    high_valid = onehot * high_entropy_mask[:, None]
 
     # rank of each class per pixel by descending probability
     order = jnp.argsort(-probs, axis=1)                    # (N, C)
@@ -153,7 +152,14 @@ def memobank_contrastive(
     in_rank_window = (ranks >= low_rank) & (ranks < high_rank)
 
     anchor_mask = (probs > delta_p) & (low_valid > 0).astype(bool)  # (N, C)
-    negative_mask = (high_valid > 0).astype(bool) & in_rank_window
+    # negatives for class c: high-entropy pixels NOT labeled c whose
+    # class-c probability ranks in [low_rank, high_rank) — "plausible but
+    # wrong" classes.  (The reference's own mask, loss_helper.py:96-126,
+    # ANDs `label == c` with `rank(c) in [3,9)`; with argmax pseudo-labels
+    # the labeled class always ranks 0, so that conjunction is
+    # structurally empty — dead code faithfully diverged from.)
+    negative_mask = ((onehot == 0) & high_entropy_mask[:, None]
+                     & in_rank_window)
 
     # class prototypes: mean teacher feature over low-valid pixels
     weights = low_valid / jnp.maximum(
@@ -193,8 +199,8 @@ def memobank_contrastive(
                                (num_queries, 1, d))
         all_feat = jnp.concatenate([pos, negs], axis=1)     # (Q, 1+K, D)
         logits = jnp.einsum(
-            "qd,qkd->qk", l2_normalize(anchors),
-            l2_normalize(all_feat, axis=-1)) / temperature
+            "qd,qkd->qk", l2_normalize(anchors, eps=1e-12),
+            l2_normalize(all_feat, axis=-1, eps=1e-12)) / temperature
         loss_c = jnp.mean(-jnn.log_softmax(logits, axis=1)[:, 0])
         return jnp.where(has_anchor & has_neg, loss_c, 0.0), \
             (has_anchor & has_neg).astype(jnp.float32)

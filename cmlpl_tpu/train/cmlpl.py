@@ -30,6 +30,12 @@ import optax
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from cmlpl_tpu.data.augment import (
+    mixture_noise,
+    radiation_noise,
+    random_flip,
+    random_rot90,
+)
 from cmlpl_tpu.data.patches import gather_spectra
 from cmlpl_tpu.data.prep import PreparedScene
 from cmlpl_tpu.models.basenet import BaseNet2
@@ -39,6 +45,12 @@ from cmlpl_tpu.objectives.cmlpl import (
     pseudo_label_graph,
     soft_consistency,
 )
+from cmlpl_tpu.objectives.contrastive import (
+    memobank_contrastive,
+    memobank_init,
+    nt_xent,
+)
+from cmlpl_tpu.objectives.mmd import mmd_loss
 from cmlpl_tpu.objectives.queue import memory_smooth, queue_init, queue_update
 from cmlpl_tpu.objectives.supervised import cross_entropy
 from cmlpl_tpu.train.driver import EpochDriver, stack_schedule
@@ -93,6 +105,10 @@ class CMLPLTrainer(EpochDriver):
         x = jnp.zeros((1, cfg.num_features))
         params_b = self.model.init(k_b, xp, x, train=False)["params"]
         params_e = self.model.init(k_e, xp, x, train=False)["params"]
+        bank = ()
+        if cfg.extra_loss == "memobank":
+            bank = memobank_init(cfg.num_classes, cfg.memobank_size,
+                                 cfg.feat_dim)
         return CMLPLTrainState(
             net_b=NetState(params_b, self.optimizer.init(params_b)),
             net_e=NetState(params_e, self.optimizer.init(params_e)),
@@ -100,6 +116,7 @@ class CMLPLTrainer(EpochDriver):
             queue_s=queue_init(cfg.queue_size, cfg.feat_dim, cfg.num_classes),
             rng=k_run,
             step=jnp.zeros((), jnp.int32),
+            bank=bank,
         )
 
     def _state_sharding_tree(self):
@@ -146,7 +163,8 @@ class CMLPLTrainer(EpochDriver):
             probs=repl, ptr=repl)
         return CMLPLTrainState(
             net_b=net_sh(template.net_b), net_e=net_sh(template.net_e),
-            queue_w=queue_sh, queue_s=queue_sh, rng=repl, step=repl)
+            queue_w=queue_sh, queue_s=queue_sh, rng=repl, step=repl,
+            bank=jax.tree_util.tree_map(lambda _: repl, template.bank))
 
     def init_state(self, rng: jax.Array) -> CMLPLTrainState:
         state = self._make_state(rng)
@@ -170,7 +188,12 @@ class CMLPLTrainer(EpochDriver):
             w = cfg.patch_size
             bt = lab_idx.shape[0]
 
-            rng, k_noise, k_drop_b, k_drop_e = jax.random.split(state.rng, 4)
+            if cfg.extra_loss or cfg.augment:
+                (rng, k_noise, k_drop_b, k_drop_e, k_extra,
+                 k_aug) = jax.random.split(state.rng, 6)
+            else:
+                rng, k_noise, k_drop_b, k_drop_e = jax.random.split(
+                    state.rng, 4)
             nk = jax.random.split(k_noise, 8)
 
             # on-device gather (train.py:156-167 did host->device copies)
@@ -178,6 +201,28 @@ class CMLPLTrainer(EpochDriver):
             x_l = gather_spectra(spectra, lab_idx)
             xp_u = _gather_patches_local(padded, unl_idx, cols, w)
             x_u = gather_spectra(spectra, unl_idx)
+
+            if cfg.augment:
+                # opt-in patch augmentations (hsi_loader.py:58-107)
+                ak = jax.random.split(k_aug, 8)
+
+                def augmented(xp, keys, labels=None):
+                    i = 0
+                    if "flip" in cfg.augment:
+                        xp = random_flip(keys[i], xp)
+                        i += 1
+                    if "rot90" in cfg.augment:
+                        xp = random_rot90(keys[i], xp)
+                        i += 1
+                    if "radiation" in cfg.augment:
+                        xp = radiation_noise(keys[i], xp)
+                        i += 1
+                    if "mixture" in cfg.augment and labels is not None:
+                        xp = mixture_noise(keys[i], xp, labels)
+                    return xp
+
+                xp_l = augmented(xp_l, ak[:4], lab_y)
+                xp_u = augmented(xp_u, ak[4:])
 
             def noisy(k, a):
                 return a + jax.random.normal(k, a.shape, a.dtype) * cfg.noise
@@ -257,6 +302,41 @@ class CMLPLTrainer(EpochDriver):
                 total_e = (cls_e + cfg.w_contrast * contrast_e
                            + cfg.w_consistency * con_e)
 
+                # ---- opt-in extra objective (dead in the reference:
+                # loss_helper.py imports at trian_CPS.py:15-19,
+                # models.py:14-39 ContrastiveLoss, missing `regularizer`
+                # MMD) — invocable here via config.extra_loss ----
+                new_bank = state.bank
+                if cfg.extra_loss == "ntxent":
+                    # the two nets' views of the same unlabeled samples
+                    extra_b = nt_xent(xs, lax.stop_gradient(xw),
+                                      cfg.temperature)
+                    extra_e = nt_xent(lax.stop_gradient(xs), xw,
+                                      cfg.temperature)
+                elif cfg.extra_loss == "mmd":
+                    # align labeled/unlabeled feature distributions
+                    extra_b = mmd_loss(feat_lab_b, xs)
+                    extra_e = mmd_loss(feat_lab_e, xw)
+                elif cfg.extra_loss == "memobank":
+                    # U2PL InfoNCE: net E (teacher, smoothed probs)
+                    # teaches net B.  The reference's percentile
+                    # entropy split (loss_helper.py:54-63) becomes a
+                    # fixed-shape median split for jit.
+                    ent = -jnp.sum(probs * jnp.log(probs + 1e-10),
+                                   axis=1)
+                    med = jnp.median(ent)
+                    pl = jnp.argmax(probs, axis=1)
+                    extra_b, new_bank = memobank_contrastive(
+                        xs, lax.stop_gradient(xw), probs, pl,
+                        ent <= med, ent > med, state.bank, k_extra,
+                        num_queries=32, num_negatives=16,
+                        temperature=0.5)
+                    extra_e = jnp.float32(0.0)
+                else:
+                    extra_b = extra_e = jnp.float32(0.0)
+                total_b = total_b + cfg.extra_weight * extra_b
+                total_e = total_e + cfg.extra_weight * extra_e
+
                 acc_e = jnp.mean(
                     (jnp.argmax(lab_e, axis=1) == lab_y).astype(jnp.float32))
                 metrics = {
@@ -268,9 +348,12 @@ class CMLPLTrainer(EpochDriver):
                     "acc": acc_e,
                     "mask_rate": jnp.mean(mask),
                 }
-                return total_b + total_e, (new_queue_w, new_queue_s, metrics)
+                if cfg.extra_loss:
+                    metrics["extra_loss"] = extra_b
+                return total_b + total_e, (new_queue_w, new_queue_s,
+                                           new_bank, metrics)
 
-            grads, (new_queue_w, new_queue_s, metrics) = jax.grad(
+            grads, (new_queue_w, new_queue_s, new_bank, metrics) = jax.grad(
                 loss_fn, has_aux=True)((state.net_b.params,
                                         state.net_e.params))
             g_b, g_e = grads
@@ -287,6 +370,7 @@ class CMLPLTrainer(EpochDriver):
                 queue_s=new_queue_s,
                 rng=rng,
                 step=state.step + 1,
+                bank=new_bank,
             )
             return new_state, metrics
 

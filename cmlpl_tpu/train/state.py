@@ -42,6 +42,17 @@ class CMLPLConfig:
     # performance knobs (defaults preserve reference numerics)
     compute_dtype: str = "float32"   # "bfloat16" for MXU-native compute
     rng_impl: str = "threefry2x32"   # "rbg" is much faster on TPU
+    # opt-in objectives the reference imports but never invokes
+    # (loss_helper.py, models.py:14-39, the missing `regularizer` module):
+    # "" | "memobank" (U2PL InfoNCE, net E teaches net B) | "mmd"
+    # (labeled/unlabeled feature MMD per net) | "ntxent" (SimCLR across
+    # the two nets' views)
+    extra_loss: str = ""
+    extra_weight: float = 0.1
+    memobank_size: int = 256
+    # opt-in patch augmentations (hsi_loader.py:58-107, dead in the
+    # reference): any of "flip", "rot90", "radiation", "mixture"
+    augment: tuple = ()
 
     @property
     def queue_size(self) -> int:
@@ -60,3 +71,4 @@ class CMLPLTrainState(NamedTuple):
     queue_s: QueueState      # smooths net B's probs (train.py:142-145)
     rng: jax.Array
     step: jax.Array
+    bank: Any = ()           # MemoBankState when extra_loss="memobank"

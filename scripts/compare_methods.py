@@ -18,6 +18,8 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import argparse
+
 import jax
 import numpy as np
 
@@ -64,7 +66,13 @@ def run_semi(trainer_cls, cfg, scene, splits, mesh, seed):
     return trainer, state
 
 
-def main():
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--extras", action="store_true",
+                    help="also run the opt-in objective variants "
+                         "(cmlpl + memobank / mmd / ntxent / augment)")
+    ap.add_argument("--seeds", type=int, default=len(SEEDS))
+    args = ap.parse_args(argv)
     spec, scene, splits = build_scene()
     mesh = create_mesh()
     cfg = CMLPLConfig(num_classes=spec.num_classes,
@@ -72,7 +80,16 @@ def main():
                       num_unlabel=min(10000, len(splits.unlabeled)))
     results: dict[str, list[float]] = {}
 
-    for seed in SEEDS:
+    def eval_cmlpl_variant(name, variant_cfg, seed):
+        trainer, state = run_semi(CMLPLTrainer, variant_cfg, scene, splits,
+                                  mesh, seed)
+        m = trainer.model
+        acc = evaluate(lambda p, xp, x: m.apply({"params": p}, xp, x,
+                                                train=False)[0],
+                       state.net_b.params, scene, splits, mesh)
+        results.setdefault(name, []).append(acc.oa)
+
+    for seed in SEEDS[:args.seeds]:
         # supervised-only BaseNet2 (same epochs-equivalent step count)
         model, entry = build_model("basenet2", spec, 60)
         sup = SupervisedTrainer(model, entry, patch_size=20, n_pc=60,
@@ -111,6 +128,18 @@ def main():
                           train=False)[0]),
             state.params, scene, splits, mesh)
         results.setdefault("cct", []).append(acc.oa)
+
+        if args.extras:
+            import dataclasses
+            for extra in ["memobank", "mmd", "ntxent"]:
+                eval_cmlpl_variant(
+                    f"cmlpl+{extra}",
+                    dataclasses.replace(cfg, extra_loss=extra,
+                                        extra_weight=0.1), seed)
+            eval_cmlpl_variant(
+                "cmlpl+augment",
+                dataclasses.replace(cfg, augment=("flip", "rot90",
+                                                  "radiation")), seed)
         print(f"seed {seed} done", file=sys.stderr)
 
     print(f"{'method':12s} {'OA mean':>8s} {'std':>6s}  ({len(SEEDS)} seeds,"
