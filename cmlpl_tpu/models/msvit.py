@@ -135,9 +135,9 @@ class ConvFeedForward(nn.Module):
                           name="dw")(h)
         h = nn.BatchNorm(use_running_average=not train, name="bn")(h)
         h = nn.Conv(512, (1, 1), name="pw1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU is exact erf
         h = nn.Conv(d, (1, 1), name="pw2")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU is exact erf
         h = h.transpose(0, 3, 1, 2).reshape(b, d, n).transpose(0, 2, 1)
         return x + h
 
@@ -157,11 +157,11 @@ class MSTransformer(nn.Module):
     def __call__(self, x, *, train: bool = False):
         outputs = []
         for i in range(self.depth):
-            h = nn.LayerNorm(name=f"ln_attn_{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, name=f"ln_attn_{i}")(x)
             x = DualAttention(self.dim, self.heads, self.dim_head,
                               self.dropout, self.num_patches,
                               name=f"attn_{i}")(h, train=train) + x
-            h = nn.LayerNorm(name=f"ln_ff_{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, name=f"ln_ff_{i}")(x)
             x = ConvFeedForward(self.dim, name=f"ff_{i}")(h, train=train) + x
             outputs.append(x)
         return x, outputs
@@ -218,7 +218,7 @@ class MultiScaleViT(nn.Module):
                     tokens, train=train)
             res = outputs[-1].reshape(b, -1)
             logits = nn.Sequential([
-                nn.LayerNorm(),
+                nn.LayerNorm(epsilon=1e-5),
                 nn.Dense(self.num_classes),
             ], name=f"mlp_head_{bi}")(res)
             branch_logits.append(logits)

@@ -56,7 +56,7 @@ class ViTMLP(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         h = tdense(self.hidden_dim, self.dim)(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU is exact erf
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = tdense(self.dim, self.hidden_dim)(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
@@ -76,10 +76,10 @@ class ViTTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         for i in range(self.depth):
-            h = nn.LayerNorm(name=f"ln_attn_{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, name=f"ln_attn_{i}")(x)
             x = x + ViTAttention(self.dim, self.heads, self.dropout,
                                  name=f"attn_{i}")(h, train=train)
-            h = nn.LayerNorm(name=f"ln_mlp_{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, name=f"ln_mlp_{i}")(x)
             x = x + ViTMLP(self.dim, self.mlp_dim, self.dropout,
                            name=f"mlp_{i}")(h, train=train)
         return x

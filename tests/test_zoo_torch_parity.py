@@ -1,0 +1,355 @@
+"""Zoo fidelity pins: hand-computed parameter counts + torch-transplant
+forward parity for DBDA and SSFTT.
+
+Round 1 only shape-tested the comparison zoo; a silent topology
+divergence (e.g. a dense-block growth width) would have passed CI.
+The counts below are derived layer by layer from the reference
+definitions (conpared_models.py:128-190 SSFTT, :719-1077 DBDA x2,
+:1110-1163 SSRN, :1165-1290 FDSSC), counting only forward-participating
+parameters (the reference's DBDA carries unused modules — shared_mlp,
+conv25, pooling stubs — whose params never receive gradients; they are
+intentionally not reproduced).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from cmlpl_tpu.models.zoo import build_model
+from cmlpl_tpu.registry import get_dataset
+
+
+def _count(tree):
+    return sum(x.size for x in jax.tree_util.tree_leaves(tree))
+
+
+def _conv3d(cout, cin, k):          # weights + bias
+    return cout * cin * int(np.prod(k)) + cout
+
+
+def _linear(cout, cin):
+    return cout * cin + cout
+
+
+def _expected_ssftt(ncls=9, dim=64, tokens=4, mlp=8):
+    """conpared_models.py:128-190 + the ViT v1 helpers (:23-112)."""
+    return (_conv3d(8, 1, (3, 3, 3))            # conv3d_features
+            + 2 * 8                             # BatchNorm3d(8) affine
+            + _conv3d(64, 24, (3, 3))           # conv2d_features
+            + 2 * 64                            # BatchNorm2d(64) affine
+            + tokens * 64 + 64 * dim            # token_wA / token_wV
+            + (tokens + 1) * dim + dim          # pos_embedding + cls_token
+            + 2 * dim + _linear(3 * dim, dim)   # LN + to_qkv
+            + _linear(dim, dim)                 # attention out proj (nn1)
+            + 2 * dim                           # LN before MLP
+            + _linear(mlp, dim) + _linear(dim, mlp)   # MLP_Block
+            + _linear(ncls, dim))               # head
+
+
+def _expected_dbda_trunk(band):
+    """Shared DBDA trunk (:903-1077 forward-participating layers)."""
+    k3d = int(np.floor((band - 6) / 2))
+    pam = 2 * _linear(60 // 8, 60) + _linear(60, 60) + 1   # q/k/v + gamma
+    return (_conv3d(24, 1, (1, 1, 7))                      # conv11
+            + 2 * (24 + 48 + 72 + 96)                      # bn11..bn14
+            + _conv3d(24, 24, (1, 1, 7))                   # conv12
+            + _conv3d(24, 48, (1, 1, 7))                   # conv13
+            + _conv3d(24, 72, (1, 1, 7))                   # conv14
+            + _conv3d(60, 96, (1, 1, k3d))                 # conv15
+            + _conv3d(24, 1, (1, 1, band))                 # conv21
+            + 2 * (24 + 36 + 48)                           # bn21..bn23
+            + _conv3d(12, 24, (3, 3, 1))                   # conv22
+            + _conv3d(12, 36, (3, 3, 1))                   # conv23
+            + _conv3d(12, 48, (3, 3, 1))                   # conv24
+            + 1                                            # CAM gamma
+            + pam)
+
+
+def _expected_ssrn(band, ncls=9):
+    """conpared_models.py:1110-1163."""
+    k3d = int(np.ceil((band - 6) / 2))
+    res_spec = 2 * (_conv3d(24, 24, (1, 1, 7)) + 2 * 24)   # conv+bn x2
+    res_spat = 2 * (_conv3d(24, 24, (3, 3, 1)) + 2 * 24)
+    return (_conv3d(24, 1, (1, 1, 7)) + 2 * 24             # stem conv+bn
+            + 2 * res_spec                                 # res1, res2
+            + _conv3d(128, 24, (1, 1, k3d)) + 2 * 128      # conv2+bn2
+            + _conv3d(24, 1, (3, 3, 128)) + 2 * 24         # conv3+bn3
+            + 2 * res_spat                                 # res3, res4
+            + _linear(ncls, 24))
+
+
+def _expected_fdssc(band, ncls=9):
+    """conpared_models.py:1165-1290; 8 PReLU slopes (bn4 uses ReLU)."""
+    k3d = int(np.ceil((band - 6) / 2))
+    dense = (_conv3d(12, 24, (1, 1, 7)) + _conv3d(12, 36, (1, 1, 7))
+             + _conv3d(12, 48, (1, 1, 7)))
+    return (_conv3d(24, 1, (1, 1, 7)) + 2 * 24             # conv1+bn1
+            + dense + 2 * (36 + 48 + 60)                   # spectral block
+            + _conv3d(200, 60, (1, 1, k3d))                # conv5
+            + 2 * 1                                        # bn5 (1 channel)
+            + _conv3d(24, 1, (1, 1, 200)) + 2 * 24         # conv6+bn6
+            + dense + 2 * (36 + 48 + 60)                   # spatial block
+            + _linear(ncls, 60)
+            + 8)                                           # PReLU slopes
+
+
+@pytest.mark.parametrize("name,w,n_pc,expected", [
+    ("ssftt", 13, 5, _expected_ssftt()),
+    ("dbda", 9, 103, _expected_dbda_trunk(103) + _linear(9, 120)),
+    ("dbda_feature", 9, 103,
+     _expected_dbda_trunk(103) + _linear(64, 120) + _linear(64, 64)
+     + _linear(32, 64) + _linear(9, 32)),
+    ("ssrn", 7, 103, _expected_ssrn(103)),
+    ("fdssc", 9, 103, _expected_fdssc(103)),
+])
+def test_zoo_param_counts_pin_topology(name, w, n_pc, expected):
+    spec = get_dataset(1)  # PaviaU: 103 bands, 9 classes
+    model, entry = build_model(name, spec, n_pc)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, w, w, n_pc)),
+                           train=False)
+    assert _count(variables["params"]) == expected, name
+
+
+# --------------------------------------------------------------------- #
+# torch forward-parity transplants
+# --------------------------------------------------------------------- #
+
+def _t(a):
+    return torch.tensor(np.asarray(a))
+
+
+def _conv3d_w(flax_kernel):
+    """flax (kh, kw, kd, Cin, Cout) -> torch (Cout, Cin, kh, kw, kd)."""
+    return torch.nn.Parameter(_t(flax_kernel).permute(4, 3, 0, 1, 2)
+                              .contiguous())
+
+
+class TorchDBDA(torch.nn.Module):
+    """Reference DBDA (shadowing def, conpared_models.py:903-1077),
+    forward-participating layers only.  Input NCHW (B, band, H, W)."""
+
+    def __init__(self, band, ncls):
+        super().__init__()
+        k3d = int(np.floor((band - 6) / 2))
+        c3 = torch.nn.Conv3d
+        self.conv11 = c3(1, 24, (1, 1, 7), stride=(1, 1, 2))
+        self.conv12 = c3(24, 24, (1, 1, 7), padding=(0, 0, 3))
+        self.conv13 = c3(48, 24, (1, 1, 7), padding=(0, 0, 3))
+        self.conv14 = c3(72, 24, (1, 1, 7), padding=(0, 0, 3))
+        self.conv15 = c3(96, 60, (1, 1, k3d))
+        self.conv21 = c3(1, 24, (1, 1, band))
+        self.conv22 = c3(24, 12, (3, 3, 1), padding=(1, 1, 0))
+        self.conv23 = c3(36, 12, (3, 3, 1), padding=(1, 1, 0))
+        self.conv24 = c3(48, 12, (3, 3, 1), padding=(1, 1, 0))
+        for i, ch in zip(range(11, 15), [24, 48, 72, 96]):
+            setattr(self, f"bn{i}",
+                    torch.nn.BatchNorm3d(ch, eps=0.001, momentum=0.1))
+        for i, ch in zip(range(21, 24), [24, 36, 48]):
+            setattr(self, f"bn{i}",
+                    torch.nn.BatchNorm3d(ch, eps=0.001, momentum=0.1))
+        self.q = torch.nn.Conv2d(60, 7, 1)
+        self.k = torch.nn.Conv2d(60, 7, 1)
+        self.v = torch.nn.Conv2d(60, 60, 1)
+        self.gamma_pam = torch.nn.Parameter(torch.zeros(1))
+        self.gamma_cam = torch.nn.Parameter(torch.zeros(1))
+        self.fc = torch.nn.Linear(120, ncls)
+
+    def load_flax(self, params):
+        trunk = params["trunk"]
+        for name in ["conv11", "conv12", "conv13", "conv14", "conv15",
+                     "conv21", "conv22", "conv23", "conv24"]:
+            layer = getattr(self, name)
+            layer.weight = _conv3d_w(trunk[name]["kernel"])
+            layer.bias = torch.nn.Parameter(_t(trunk[name]["bias"]))
+        for name in ["bn11", "bn12", "bn13", "bn14", "bn21", "bn22",
+                     "bn23"]:
+            layer = getattr(self, name)
+            layer.weight = torch.nn.Parameter(_t(trunk[name]["scale"]))
+            layer.bias = torch.nn.Parameter(_t(trunk[name]["bias"]))
+        pam = trunk["attention_spatial"]
+        for tname, fname in [("q", "query_conv"), ("k", "key_conv"),
+                             ("v", "value_conv")]:
+            layer = getattr(self, tname)
+            kern = _t(pam[fname]["kernel"])  # (1, 1, Cin, Cout)
+            layer.weight = torch.nn.Parameter(
+                kern.permute(3, 2, 0, 1).contiguous())
+            layer.bias = torch.nn.Parameter(_t(pam[fname]["bias"]))
+        self.gamma_pam = torch.nn.Parameter(_t(pam["gamma"]))
+        self.gamma_cam = torch.nn.Parameter(
+            _t(trunk["attention_spectral"]["gamma"]))
+        self.fc.weight = torch.nn.Parameter(
+            _t(params["full_connection"]["kernel"]).T.contiguous())
+        self.fc.bias = torch.nn.Parameter(
+            _t(params["full_connection"]["bias"]))
+
+    def _cam(self, x):  # (B, C, H, W, D)
+        b, c = x.shape[:2]
+        flat = x.reshape(b, c, -1)
+        energy = torch.bmm(flat, flat.transpose(1, 2))
+        energy = energy.max(-1, keepdim=True).values.expand_as(energy) \
+            - energy
+        attn = torch.softmax(energy, dim=-1)
+        out = torch.bmm(attn, flat).view_as(x)
+        return self.gamma_cam * out + x
+
+    def _pam(self, x):  # (B, C, H, W, 1)
+        b, c, h, w, _ = x.shape
+        x2 = x.reshape(b, c, h, w)
+        q = self.q(x2).view(b, -1, h * w).permute(0, 2, 1)
+        k = self.k(x2).view(b, -1, h * w)
+        attn = torch.softmax(torch.bmm(q, k), dim=-1)
+        v = self.v(x2).view(b, -1, h * w)
+        out = torch.bmm(v, attn.permute(0, 2, 1)).view(b, c, h, w)
+        return (self.gamma_pam * out + x2).reshape(b, c, h, w, 1)
+
+    def forward(self, x):  # (B, band, H, W)
+        b, c, h, w = x.shape
+        x = x.permute(0, 2, 3, 1).reshape(b, 1, h, w, c)
+        x11 = self.conv11(x)
+        x12 = self.conv12(F.relu(self.bn11(x11)))
+        x13 = torch.cat([x11, x12], 1)
+        x13 = self.conv13(F.relu(self.bn12(x13)))
+        x14 = torch.cat([x11, x12, x13], 1)
+        x14 = self.conv14(F.relu(self.bn13(x14)))
+        x15 = torch.cat([x11, x12, x13, x14], 1)
+        x16 = self.conv15(F.relu(self.bn14(x15)))
+        x1 = self._cam(x16) * x16
+
+        x21 = self.conv21(x)
+        x22 = self.conv22(F.relu(self.bn21(x21)))
+        x23 = torch.cat([x21, x22], 1)
+        x23 = self.conv23(F.relu(self.bn22(x23)))
+        x24 = torch.cat([x21, x22, x23], 1)
+        x24 = self.conv24(F.relu(self.bn23(x24)))
+        x25 = torch.cat([x21, x22, x23, x24], 1)
+        x2 = self._pam(x25) * x25
+
+        p1 = x1.mean(dim=(2, 3, 4))
+        p2 = x2.mean(dim=(2, 3, 4))
+        return self.fc(torch.cat([p1, p2], 1))
+
+
+def test_dbda_forward_matches_torch(rng):
+    spec = get_dataset(1)
+    model, _ = build_model("dbda", spec, 103)
+    xp = rng.normal(size=(3, 9, 9, 103)).astype(np.float32)
+    variables = model.init(jax.random.key(3), jnp.asarray(xp), train=False)
+    want = np.asarray(model.apply(variables, jnp.asarray(xp), train=False))
+
+    net = TorchDBDA(103, 9)
+    net.load_flax(jax.device_get(variables["params"]))
+    net.eval()
+    with torch.no_grad():
+        got = net(_t(xp).permute(0, 3, 1, 2)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TorchSSFTT(torch.nn.Module):
+    """Reference SSFTTnet (conpared_models.py:128-190) with the 1-layer
+    ViT (:23-112).  Input (B, n_pc, w, w)."""
+
+    def __init__(self, ncls=9, tokens=4, dim=64, heads=8, mlp=8):
+        super().__init__()
+        self.heads, self.dim = heads, dim
+        self.conv3d = torch.nn.Conv3d(1, 8, 3)
+        self.bn3d = torch.nn.BatchNorm3d(8)
+        self.conv2d = torch.nn.Conv2d(24, 64, 3)
+        self.bn2d = torch.nn.BatchNorm2d(64)
+        self.token_wA = torch.nn.Parameter(torch.zeros(1, tokens, 64))
+        self.token_wV = torch.nn.Parameter(torch.zeros(1, 64, dim))
+        self.pos = torch.nn.Parameter(torch.zeros(1, tokens + 1, dim))
+        self.cls = torch.nn.Parameter(torch.zeros(1, 1, dim))
+        self.ln1 = torch.nn.LayerNorm(dim)
+        self.to_qkv = torch.nn.Linear(dim, dim * 3)
+        self.attn_out = torch.nn.Linear(dim, dim)
+        self.ln2 = torch.nn.LayerNorm(dim)
+        self.mlp1 = torch.nn.Linear(dim, mlp)
+        self.mlp2 = torch.nn.Linear(mlp, dim)
+        self.head = torch.nn.Linear(dim, ncls)
+
+    def load_flax(self, params, d_prime):
+        self.conv3d.weight = _conv3d_w(params["conv3d"]["kernel"])
+        self.conv3d.bias = torch.nn.Parameter(_t(params["conv3d"]["bias"]))
+        # flax merges (D', 8) d-major into 2-D channels; the reference
+        # merges (8, D') c-major — permute the conv2d input channels
+        k2 = _t(params["conv2d"]["kernel"]).permute(3, 2, 0, 1)  # (64,24,3,3)
+        perm = [(m % 8) * d_prime + (m // 8) for m in range(8 * d_prime)]
+        inv = np.argsort(perm)
+        self.conv2d.weight = torch.nn.Parameter(k2[:, inv].contiguous())
+        self.conv2d.bias = torch.nn.Parameter(_t(params["conv2d"]["bias"]))
+        for tname, fname in [("bn3d", "bn3d"), ("bn2d", "bn2d")]:
+            layer = getattr(self, tname)
+            layer.weight = torch.nn.Parameter(_t(params[fname]["scale"]))
+            layer.bias = torch.nn.Parameter(_t(params[fname]["bias"]))
+        self.token_wA = torch.nn.Parameter(_t(params["token_wA"]))
+        self.token_wV = torch.nn.Parameter(_t(params["token_wV"]))
+        self.pos = torch.nn.Parameter(_t(params["pos_embedding"]))
+        self.cls = torch.nn.Parameter(_t(params["cls_token"]))
+        tr = params["transformer"]
+
+        def lin(dst, kernel, bias):
+            dst.weight = torch.nn.Parameter(_t(kernel).T.contiguous())
+            dst.bias = torch.nn.Parameter(_t(bias))
+
+        lin(self.to_qkv, tr["attn_0"]["to_qkv"]["kernel"],
+            tr["attn_0"]["to_qkv"]["bias"])
+        lin(self.attn_out, tr["attn_0"]["nn1"]["kernel"],
+            tr["attn_0"]["nn1"]["bias"])
+        lin(self.mlp1, tr["mlp_0"]["Dense_0"]["kernel"],
+            tr["mlp_0"]["Dense_0"]["bias"])
+        lin(self.mlp2, tr["mlp_0"]["Dense_1"]["kernel"],
+            tr["mlp_0"]["Dense_1"]["bias"])
+        for tname, fname in [("ln1", "ln_attn_0"), ("ln2", "ln_mlp_0")]:
+            layer = getattr(self, tname)
+            layer.weight = torch.nn.Parameter(_t(tr[fname]["scale"]))
+            layer.bias = torch.nn.Parameter(_t(tr[fname]["bias"]))
+        lin(self.head, params["head"]["kernel"], params["head"]["bias"])
+
+    def forward(self, x):  # (B, n_pc, w, w)
+        b = x.shape[0]
+        x = F.relu(self.bn3d(self.conv3d(x[:, None])))  # (B,8,D',H',W')
+        bb, c8, dp, hp, wp = x.shape
+        x = x.reshape(bb, c8 * dp, hp, wp)              # c-major merge
+        x = F.relu(self.bn2d(self.conv2d(x)))
+        tok = x.flatten(2).transpose(1, 2)              # (B, n, 64)
+
+        A = torch.einsum("bnc,blc->bnl", tok, self.token_wA.expand(b, -1,
+                                                                   -1))
+        A = torch.softmax(A.transpose(1, 2), dim=-1)    # (B, L, n)
+        VV = torch.einsum("bnc,bcd->bnd", tok, self.token_wV.expand(
+            b, -1, -1))
+        T = torch.einsum("bln,bnd->bld", A, VV)
+        z = torch.cat([self.cls.expand(b, -1, -1), T], 1) + self.pos
+
+        h = self.ln1(z)
+        qkv = self.to_qkv(h).chunk(3, dim=-1)
+        hd = self.dim // self.heads
+
+        def split(t):
+            return t.reshape(b, -1, self.heads, hd).transpose(1, 2)
+
+        q, k, v = map(split, qkv)
+        dots = torch.einsum("bhid,bhjd->bhij", q, k) * self.dim ** -0.5
+        out = torch.einsum("bhij,bhjd->bhid", torch.softmax(dots, -1), v)
+        out = out.transpose(1, 2).reshape(b, -1, self.dim)
+        z = z + self.attn_out(out)
+        z = z + self.mlp2(F.gelu(self.mlp1(self.ln2(z))))
+        return self.head(z[:, 0])
+
+
+def test_ssftt_forward_matches_torch(rng):
+    spec = get_dataset(1)
+    model, _ = build_model("ssftt", spec, 5)
+    xp = rng.normal(size=(3, 13, 13, 5)).astype(np.float32)
+    variables = model.init(jax.random.key(7), jnp.asarray(xp), train=False)
+    want = np.asarray(model.apply(variables, jnp.asarray(xp), train=False))
+
+    net = TorchSSFTT()
+    net.load_flax(jax.device_get(variables["params"]), d_prime=3)
+    net.eval()
+    with torch.no_grad():
+        got = net(_t(xp).permute(0, 3, 1, 2)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
