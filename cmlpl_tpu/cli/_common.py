@@ -67,6 +67,10 @@ def base_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in "
                         "--checkpoint_dir")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialise jax.distributed for a multi-host pod "
+                        "before mesh creation (auto-discovers coordinator "
+                        "on TPU pods; no-op for a single process)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of one epoch into "
                         "this directory")
@@ -101,6 +105,20 @@ def build_config(args, spec) -> CMLPLConfig:
         extra_weight=args.extra_weight,
         augment=tuple(args.augment),
     )
+
+
+def setup_runtime(args) -> None:
+    """Process-level runtime init; must run before any mesh/backend use.
+    With --multihost, joins the pod via jax.distributed.initialize
+    (guarded single-process no-op, core/mesh.initialize_multihost)."""
+    if getattr(args, "multihost", False):
+        from cmlpl_tpu.core.mesh import initialize_multihost
+
+        n = initialize_multihost()
+        import jax
+
+        print(f"multihost: {n} process(es), "
+              f"{jax.device_count()} global device(s)")
 
 
 def build_data(args):

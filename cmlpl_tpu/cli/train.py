@@ -8,6 +8,7 @@ import time
 
 from cmlpl_tpu.cli._common import (
     base_parser,
+    setup_runtime,
     build_config,
     build_data,
     make_epoch_hook,
@@ -25,6 +26,7 @@ from cmlpl_tpu.train import CMLPLTrainer
 
 def main(argv=None):
     args = base_parser().parse_args(argv)
+    setup_runtime(args)
     spec, scene, splits, sampler = build_data(args)
     cfg = build_config(args, spec)
     mesh = create_mesh()

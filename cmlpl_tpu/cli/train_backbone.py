@@ -14,6 +14,7 @@ import time
 
 from cmlpl_tpu.cli._common import (
     base_parser,
+    setup_runtime,
     make_epoch_hook,
     maybe_resume,
     report_accuracy,
@@ -37,6 +38,7 @@ def main(argv=None):
     p.add_argument("--epoch_samples", type=int, default=None,
                    help="tile the labeled split to this many samples/epoch")
     args = p.parse_args(argv)
+    setup_runtime(args)
 
     spec = get_dataset(args.dataID)
     entry = ZOO[args.model]

@@ -7,6 +7,7 @@ import time
 
 from cmlpl_tpu.cli._common import (
     base_parser,
+    setup_runtime,
     build_config,
     build_data,
     make_epoch_hook,
@@ -24,6 +25,7 @@ from cmlpl_tpu.train import CPSTrainer
 
 def main(argv=None):
     args = base_parser().parse_args(argv)
+    setup_runtime(args)
     spec, scene, splits, sampler = build_data(args)
     cfg = build_config(args, spec)
     mesh = create_mesh()

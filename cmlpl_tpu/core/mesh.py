@@ -9,8 +9,9 @@ distributed backend.  The TPU-native scaling story is a single
   and XLA inserts the gradient ``psum`` over ICI automatically;
 - full-scene inference shards the pixel grid over ``data``.
 
-Multi-host pods only need ``jax.distributed.initialize`` before mesh
-creation — no NCCL/MPI analog exists or is needed.
+Multi-host pods: call :func:`initialize_multihost` (the CLIs'
+``--multihost`` flag) before mesh creation — no NCCL/MPI analog exists
+or is needed; XLA collectives over ICI/DCN are the backend.
 """
 
 from __future__ import annotations
@@ -23,6 +24,36 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> int:
+    """Multi-host pod entry point: call ``jax.distributed.initialize``
+    BEFORE any backend/mesh creation so every host contributes its local
+    chips to the global ``jax.devices()`` view.
+
+    On TPU pods the three arguments are auto-discovered from the
+    environment; on other platforms pass them explicitly (or set
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
+    Single-process calls (num_processes in (None, 0, 1) with no
+    coordinator) are a guarded no-op, so the same CLI command works on
+    one host and on a pod.  Returns the process count in effect.
+    """
+    import os
+
+    num_processes = num_processes or int(
+        os.environ.get("JAX_NUM_PROCESSES", "0")) or None
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS") or None
+    if coordinator_address is None and (num_processes or 1) <= 1:
+        return 1  # single process: nothing to initialize
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+    return jax.process_count()
 
 
 def create_mesh(devices: Optional[Sequence[jax.Device]] = None,

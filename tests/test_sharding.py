@@ -74,6 +74,29 @@ def test_mesh_covers_all_devices(mesh):
     assert mesh.devices.size == 8
 
 
+def test_initialize_multihost_single_process_noop(monkeypatch):
+    """The pod entry point must be a guarded no-op for one process, so
+    the same CLI command works on a laptop and on a pod."""
+    from cmlpl_tpu.core.mesh import initialize_multihost
+
+    for var in ["JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"]:
+        monkeypatch.delenv(var, raising=False)
+    assert initialize_multihost() == 1
+    assert initialize_multihost(num_processes=1) == 1
+
+
+def test_multihost_cli_flag_single_process(monkeypatch, capsys):
+    from cmlpl_tpu.cli._common import base_parser, setup_runtime
+
+    args = base_parser().parse_args(["--multihost"])
+    for var in ["JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"]:
+        monkeypatch.delenv(var, raising=False)
+    setup_runtime(args)  # must not raise or call jax.distributed
+    assert "process(es)" in capsys.readouterr().out
+
+
 def test_cmlpl_dp_tp_mesh_matches_single_device(tiny_scene, tiny_splits):
     """4 dp x 2 tp: feat_spe/classifier/queue-feature tensor parallelism
     must be numerically identical to single-device training."""
