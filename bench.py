@@ -10,10 +10,14 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 vs_baseline: the reference repo publishes no numbers (BASELINE.md); the
-denominator is a documented estimate of the reference's GPU throughput —
-256 patches/step at ~40 steps/s on the torch 1.8 single-GPU loop with
-per-step host->device copies (train.py:157-184) ≈ 10,000 patches/s.  The
-driver target is >= 10x that estimate.
+denominator is a documented, FLOP-derived estimate of the reference's GPU
+throughput — 61 GFLOP/step at ~4.5 TFLOP/s sustained plus >=10 per-step
+host->device copies and 5 .item() syncs (train.py:157-184,274-278)
+=> ~25 ms/step => ~40 steps/s x 256 patches ≈ 10,000 patches/s.  The
+estimate is anchored by a measured same-host run of the reference's exact
+torch step (scripts/measure_reference.py, via the parity-test torch
+oracle): REF_CPU_PPS_MEASURED on this image's 1-vCPU host, recorded
+2026-08-16.  The driver target is >= 10x the GPU estimate.
 """
 
 from __future__ import annotations
@@ -25,6 +29,17 @@ import jax
 import numpy as np
 
 REF_GPU_PATCHES_PER_SEC_EST = 10_000.0
+# measured by scripts/measure_reference.py on this image (torch CPU,
+# reference step math via the whole-step-parity torch oracle; three runs
+# 2026-08-16 gave 121.5 / 152.5 / 129.5 patches/s — mean below).  Same
+# script also measured our jitted step on JAX CPU, same host: 82-99
+# patches/s (XLA CPU conv codegen trails oneDNN; not the target hardware).
+REF_CPU_PPS_MEASURED = 134.5
+BASELINE_DERIVATION = (
+    "ref GPU est: 61 GFLOP/step @ ~4.5 TFLOP/s sustained + >=10 H2D "
+    "copies + 5 .item() syncs/step => ~25 ms/step => ~10k patches/s; "
+    "measured anchor: reference torch step on this host's CPU = "
+    f"{REF_CPU_PPS_MEASURED} patches/s (scripts/measure_reference.py)")
 
 # PaviaU dims (registry dataID 1): 610 x 340 x 103, 9 classes
 ROWS, COLS = 610, 340
@@ -108,6 +123,13 @@ def main() -> None:
             "final_train_acc": round(final_acc, 4),
             "n_chips": n_chips,
             "timed_steps": steps,
+            "baseline": {
+                "ref_gpu_pps_est": REF_GPU_PATCHES_PER_SEC_EST,
+                "ref_cpu_pps_measured": REF_CPU_PPS_MEASURED,
+                "vs_measured_cpu_ref": round(
+                    pps_per_chip / REF_CPU_PPS_MEASURED, 1),
+                "derivation": BASELINE_DERIVATION,
+            },
         },
     }))
 
