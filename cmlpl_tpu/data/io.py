@@ -20,15 +20,35 @@ from cmlpl_tpu.registry import DatasetSpec, get_dataset
 
 
 def _load_mat_key(path: str, key: str, hdf5: bool) -> np.ndarray:
-    if hdf5:
+    """Load one array from a .mat file, tolerating either storage format.
+
+    The registry records which format the REFERENCE used per file
+    (hyper_tools.py:250-277: hdf5storage for Indian Pines, scipy
+    elsewhere), but the public mirrors serve some cubes in the other
+    format (e.g. ehu.eus Indian Pines is MATLAB v5).  Try the recorded
+    format first, then the other one.
+    """
+
+    def _via_h5py() -> np.ndarray:
         import h5py
 
         with h5py.File(path, "r") as f:
             # MATLAB v7.3 stores arrays transposed relative to scipy
             return np.asarray(f[key]).T
-    import scipy.io as sio
 
-    return np.asarray(sio.loadmat(path)[key])
+    def _via_scipy() -> np.ndarray:
+        import scipy.io as sio
+
+        return np.asarray(sio.loadmat(path)[key])
+
+    first, second = (_via_h5py, _via_scipy) if hdf5 else (_via_scipy,
+                                                          _via_h5py)
+    try:
+        return first()
+    except (NotImplementedError, OSError, ValueError):
+        # scipy raises NotImplementedError on v7.3; h5py raises OSError
+        # on v5 ("file signature not found")
+        return second()
 
 
 def load_scene(data_id, root: str = "./dataset") -> Tuple[np.ndarray, np.ndarray]:

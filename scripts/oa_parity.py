@@ -1,0 +1,146 @@
+"""Multi-seed OA parity harness vs the reference's memorialised result.
+
+VERDICT r1 item 1: the reference memorialises OA = 94.36 for PaviaU with 5
+labels/class, split seed 2 (/root/reference/sample_generation.py:47); the
+parity target is ±0.3 (BASELINE.md).  Bit-exact replay is impossible
+(torch vs JAX RNG), so parity is measured as a distribution: N seeds of
+the full reference schedule (20 epochs x 78 steps, batch 128+128, lr 5e-4
+— train.py:355-380) on byte-identical splits (tests/test_splits.py pins
+seed-2/seed-0 replay), identical topology (whole-step torch parity pins
+the math), torch-matching inits (core/init.py).
+
+One command once the cubes exist (scripts/fetch_datasets.py):
+
+  python scripts/oa_parity.py --dataID 1 --seeds 5
+
+Without the real cube the script REFUSES to report parity (the synthetic
+fallback is not comparable); pass --allow_synthetic to exercise the full
+harness end-to-end anyway (tests do this on a tiny config).
+
+Prints ONE JSON line: per-seed OA for both networks, mean±std, the
+94.36 target, and a pass/fail verdict for |mean - target| <= 0.3.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+REFERENCE_OA = {1: 94.36}  # sample_generation.py:47 (PaviaU, 5 labels)
+TOLERANCE = 0.3            # BASELINE.md parity band
+
+
+def run(argv=None) -> dict:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataID", type=str, default="1")
+    p.add_argument("--num_label", type=int, default=5)
+    p.add_argument("--seeds", type=int, default=5)
+    p.add_argument("--data_root", default="./dataset")
+    p.add_argument("--n_PC", type=int, default=60)
+    p.add_argument("--w", type=int, default=20)
+    p.add_argument("--num_epochs", type=int, default=20)
+    p.add_argument("--labeled_batch_size", type=int, default=128)
+    p.add_argument("--unlabeled_batch_size", type=int, default=128)
+    p.add_argument("--num_unlabel", type=int, default=10000)
+    p.add_argument("--val_batch_size", type=int, default=512)
+    p.add_argument("--dropout", type=float, default=0.8)
+    p.add_argument("--allow_synthetic", action="store_true",
+                   help="run the harness even without the real cube "
+                        "(OA is NOT comparable; harness validation only)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force JAX onto host CPU (tiny configs only)")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from cmlpl_tpu.data import (SemiSupervisedSampler, generate_splits,
+                                prepare_scene)
+    from cmlpl_tpu.eval import ScenePredictor, cal_accuracy
+    from cmlpl_tpu.registry import get_dataset
+    from cmlpl_tpu.train import CMLPLConfig, CMLPLTrainer
+
+    spec = get_dataset(args.dataID)
+    real = spec.cube_file is not None and os.path.exists(
+        os.path.join(args.data_root, spec.cube_file))
+    if spec.data_id != 0 and not real and not args.allow_synthetic:
+        sys.exit(
+            f"{spec.name}: real cube not found under {args.data_root}. "
+            "Run scripts/fetch_datasets.py first (parity numbers on the "
+            "synthetic fallback are meaningless; --allow_synthetic to "
+            "exercise the harness anyway).")
+
+    scene = prepare_scene(spec, root=args.data_root, patch_size=args.w,
+                          n_pc=args.n_PC)
+    # byte-identical reference splits: whole pool seed 2, per-class seed 0
+    splits = generate_splits(scene.labels, num_label=args.num_label)
+    cfg = CMLPLConfig(
+        num_classes=spec.num_classes, num_features=spec.num_bands,
+        n_pc=args.n_PC, patch_size=args.w,
+        labeled_batch=args.labeled_batch_size,
+        unlabeled_batch=args.unlabeled_batch_size,
+        val_batch=args.val_batch_size, num_epochs=args.num_epochs,
+        num_unlabel=args.num_unlabel, dropout=args.dropout)
+    trainer = CMLPLTrainer(cfg)
+    model = trainer.model
+
+    def apply_b(params, xp, x):
+        return model.apply({"params": params}, xp, x, train=False)[0]
+
+    predictor = ScenePredictor(apply_b, patch_size=cfg.patch_size,
+                               cols=scene.cols, tile=cfg.val_batch)
+    y_test = scene.labels[splits.test] - 1
+
+    oa_b, oa_e = [], []
+    for seed in range(args.seeds):
+        t0 = time.time()
+        sampler = SemiSupervisedSampler(
+            splits, scene.labels, cfg.labeled_batch, cfg.unlabeled_batch,
+            num_unlabel=cfg.num_unlabel, seed=1088 + seed)
+        state = trainer.init_state(
+            jax.random.fold_in(jax.random.key(cfg.seed), seed))
+        state, _ = trainer.train_run(state, scene, sampler)
+        acc_b = cal_accuracy(predictor(state.net_b.params, scene)
+                             [splits.test], y_test)
+        acc_e = cal_accuracy(predictor(state.net_e.params, scene)
+                             [splits.test], y_test)
+        oa_b.append(acc_b.oa * 100)
+        oa_e.append(acc_e.oa * 100)
+        print(f"seed {seed}: OA_B={oa_b[-1]:.2f} OA_E={oa_e[-1]:.2f} "
+              f"({time.time() - t0:.1f}s)", file=sys.stderr)
+
+    oa = np.array(oa_b)
+    target = REFERENCE_OA.get(spec.data_id)
+    result = {
+        "metric": "oa_parity",
+        "dataset": spec.name,
+        "real_data": bool(real or spec.data_id == 0),
+        "num_label": args.num_label,
+        "seeds": args.seeds,
+        "oa_net_b": [round(v, 2) for v in oa_b],
+        "oa_net_e": [round(v, 2) for v in oa_e],
+        "mean_oa": round(float(oa.mean()), 2),
+        "std_oa": round(float(oa.std()), 2),
+        "reference_oa": target,
+        "tolerance": TOLERANCE,
+        "parity": (bool(abs(oa.mean() - target) <= TOLERANCE)
+                   if (target is not None and real) else None),
+        "note": (None if real or spec.data_id == 0 else
+                 "SYNTHETIC fallback scene — OA not comparable"),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    run()

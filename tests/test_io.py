@@ -59,3 +59,27 @@ def test_synthetic_scene_deterministic():
     np.testing.assert_array_equal(a, b)
     c, _ = synthetic_scene(0, seed=8)
     assert not np.array_equal(a, c)
+
+
+def test_format_fallback_v5_behind_hdf5_flag(tmp_path, rng):
+    """Public Indian Pines is MATLAB v5 though the registry (matching the
+    reference's hdf5storage use) marks it hdf5 — loader must fall back."""
+    import scipy.io as sio
+
+    X = rng.normal(size=(6, 4, 3))
+    path = os.path.join(tmp_path, "ip.mat")
+    sio.savemat(path, {"indian_pines_corrected": X})
+    got = _load_mat_key(path, "indian_pines_corrected", hdf5=True)
+    np.testing.assert_allclose(got, X)
+
+
+def test_format_fallback_v73_behind_scipy_flag(tmp_path, rng):
+    """A v7.3 file behind hdf5=False must fall back to h5py (+transpose)."""
+    import h5py
+
+    X = rng.normal(size=(6, 4, 3))
+    path = os.path.join(tmp_path, "cube73.mat")
+    with h5py.File(path, "w") as f:
+        f["paviaU"] = X.T
+    got = _load_mat_key(path, "paviaU", hdf5=False)
+    np.testing.assert_allclose(got, X)
