@@ -110,6 +110,16 @@ def main() -> None:
     scene_sec = time.perf_counter() - t0
     assert pred.shape[0] == ROWS * COLS
 
+    # opt-in bf16 shift-cube gather (measured 1.48x faster scene maps,
+    # identical predictions on this scene — docs/BENCHMARKS.md)
+    pred_bf16 = ScenePredictor(apply_b, patch_size=20, cols=scene.cols,
+                               tile=4096, mesh=mesh, gather="pallas_bf16")
+    pred_bf16(state.net_b.params, scene)  # compile
+    t0 = time.perf_counter()
+    pb = pred_bf16(state.net_b.params, scene)
+    scene_bf16_sec = time.perf_counter() - t0
+    bf16_agree = float(np.mean(pb == pred))
+
     print(json.dumps({
         "metric": "cmlpl_train_patches_per_sec_per_chip",
         "value": round(pps_per_chip, 1),
@@ -119,6 +129,8 @@ def main() -> None:
             "steps_per_sec": round(steps_per_sec, 2),
             "full_20epoch_train_sec": round(dt, 3),
             "full_scene_paviau_sec": round(scene_sec, 3),
+            "full_scene_paviau_bf16_gather_sec": round(scene_bf16_sec, 3),
+            "bf16_gather_prediction_agreement": round(bf16_agree, 5),
             "full_scene_target_sec": 5.0,
             "final_train_acc": round(final_acc, 4),
             "n_chips": n_chips,

@@ -49,6 +49,20 @@ def base_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="model compute dtype (params stay float32)")
+    p.add_argument("--eval_gather", type=str, default="auto",
+                   choices=["auto", "xla", "pallas", "pallas_bf16"],
+                   help="full-scene inference patch gather: auto = "
+                        "Pallas f32 DMA on TPU / XLA elsewhere; "
+                        "pallas_bf16 = DMA from a bf16 shift-cube "
+                        "(measured 1.48x faster scene maps; patch inputs "
+                        "bf16-quantised)")
+    p.add_argument("--gather_impl", type=str, default="xla",
+                   choices=["xla", "pallas", "pallas_bf16"],
+                   help="training patch-gather: XLA dynamic-slice "
+                        "(default, reference numerics), Pallas DMA from "
+                        "a lane-padded f32 cube, or Pallas DMA from a "
+                        "bf16 cube (half the DMA bytes; patches upcast "
+                        "to f32 after the gather). Single-chip only.")
     p.add_argument("--extra_loss", type=str, default="",
                    choices=["", "memobank", "mmd", "ntxent"],
                    help="opt-in extra objective (CMLPL trainer): U2PL "
@@ -101,6 +115,7 @@ def build_config(args, spec) -> CMLPLConfig:
         seed=args.seed,
         compute_dtype=args.compute_dtype,
         rng_impl=args.rng_impl,
+        gather_impl=args.gather_impl,
         extra_loss=args.extra_loss,
         extra_weight=args.extra_weight,
         augment=tuple(args.augment),

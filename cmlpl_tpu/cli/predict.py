@@ -49,7 +49,7 @@ def main(argv=None):
         lambda pr, xp, x: model.apply({"params": pr}, xp, x,
                                       train=False)[0],
         patch_size=args.w, cols=scene.cols, tile=args.val_batch_size,
-        mesh=mesh)
+        mesh=mesh, gather=args.eval_gather)
     t0 = time.time()
     pred = predictor(params, scene)
     print(f"classified {scene.num_pixels} pixels in "

@@ -40,7 +40,7 @@ def main(argv=None):
 
     predictor = ScenePredictor(apply_b, patch_size=cfg.patch_size,
                                cols=scene.cols, tile=cfg.val_batch,
-                               mesh=mesh)
+                               mesh=mesh, gather=args.eval_gather)
     y_test = scene.labels[splits.test] - 1
     out = save_path(args, spec)
 

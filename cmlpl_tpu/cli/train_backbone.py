@@ -73,7 +73,7 @@ def main(argv=None):
 
     predictor = ScenePredictor(trainer.logits_fn(), patch_size=w,
                                cols=scene.cols, tile=args.val_batch_size,
-                               mesh=mesh)
+                               mesh=mesh, gather=args.eval_gather)
     t0 = time.time()
     pred = predictor(trainer.eval_variables(state), scene)
     print(f"full-scene inference time == {time.time() - t0:.3f}s")

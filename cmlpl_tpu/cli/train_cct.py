@@ -51,7 +51,7 @@ def main(argv=None):
 
     predictor = ScenePredictor(apply_cct, patch_size=cfg.patch_size,
                                cols=scene.cols, tile=cfg.val_batch,
-                               mesh=mesh)
+                               mesh=mesh, gather=args.eval_gather)
     t0 = time.time()
     pred = predictor(state.params, scene)
     print(f"full-scene inference time == {time.time() - t0:.3f}s")

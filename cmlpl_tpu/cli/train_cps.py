@@ -47,7 +47,7 @@ def main(argv=None):
 
     predictor = ScenePredictor(apply_b, patch_size=cfg.patch_size,
                                cols=scene.cols, tile=cfg.val_batch,
-                               mesh=mesh)
+                               mesh=mesh, gather=args.eval_gather)
     t0 = time.time()
     pred_b = predictor(state.net_b.params, scene)
     print(f"full-scene inference time == {time.time() - t0:.3f}s")

@@ -43,9 +43,11 @@ class ScenePredictor:
     predictor serves BaseNet2 (logits head), CCT (encoder + linear head)
     and the zoo backbones.
 
-    ``gather``: "pallas" (TPU DMA kernel), "xla", or "auto" (pallas on
-    TPU).  The pallas path lane-pads the cube's channels to 128 once per
-    call and slices them back after the gather.
+    ``gather``: "pallas" (TPU DMA kernel), "pallas_bf16" (DMA from the
+    8-column-shift bf16 cube — half the gather bytes; patch INPUTS are
+    bf16-quantised then upcast, so boundary pixels can flip class vs f32),
+    "xla", or "auto" (pallas on TPU).  The pallas paths transform the cube
+    once per call and slice back after the gather.
     """
 
     def __init__(self, apply_fn: Callable, *, patch_size: int, cols: int,
@@ -65,8 +67,18 @@ class ScenePredictor:
         apply_fn = self.apply_fn
         use_pallas = self.gather == "pallas"
 
+        use_shifted = self.gather == "pallas_bf16"
+
         def predict(params, padded, spectra, idx_tiles, n_pc):
             def gather_tile(idx):
+                if use_shifted:
+                    from cmlpl_tpu.ops.patch_gather import (
+                        gather_patches_pallas_shifted)
+
+                    interp = jax.default_backend() not in ("tpu", "axon")
+                    xp = gather_patches_pallas_shifted(
+                        padded, idx, cols=cols, w=w, interpret=interp)
+                    return xp[..., :n_pc].astype(jnp.float32)
                 if use_pallas:
                     from cmlpl_tpu.ops.patch_gather import (
                         gather_patches_pallas)
@@ -129,6 +141,10 @@ class ScenePredictor:
             from cmlpl_tpu.ops.patch_gather import lane_pad_cube
 
             cube = lane_pad_cube(cube)
+        elif self.gather == "pallas_bf16":
+            from cmlpl_tpu.ops.patch_gather import build_shifted_cube_bf16
+
+            cube = build_shifted_cube_bf16(cube)
         preds = self._predict(params, cube, scene.spectra,
                               jnp.asarray(idx_tiles), scene.n_pc)
         return np.asarray(jax.device_get(preds)).reshape(-1)[:k]

@@ -119,6 +119,179 @@ def lane_pad_cube(padded: jax.Array) -> jax.Array:
     return jnp.pad(padded, ((0, 0), (0, 0), (0, pad)))
 
 
+def _gather_kernel_shifted(w: int, span: int, align: int, block: int,
+                           depth: int, rck_ref, cube8_ref, out_ref, sems):
+    """bf16 variant: reads from the 8-column-shift cube (see
+    ``build_shifted_cube_bf16``).  Mosaic constrains 16-bit DMA slices in
+    the sublane (cols) dim to 8-aligned shapes AND statically-provably
+    8-aligned offsets (measured on v5e: "Slice shape along dimension 1
+    must be aligned to tiling (8)" / "Failed to prove that a tile index
+    ... is divisible by the tiling (8)").  Reading shift-copy ``k = c % 8``
+    at offset ``8 * (c // 8)`` satisfies both: the multiply-by-8 makes the
+    offset provable, and the copy's k-column shift lands the patch at
+    column 0 of the span, so the caller's ``[:, :, :w]`` slice is static.
+    """
+
+    def get_dma(j):
+        return pltpu.make_async_copy(
+            cube8_ref.at[rck_ref[j, 2],
+                         pl.ds(rck_ref[j, 0], w),
+                         pl.ds(rck_ref[j, 1] * align, span)],
+            out_ref.at[j],
+            sems.at[j % depth],
+        )
+
+    for d in range(min(depth, block)):
+        get_dma(d).start()
+
+    def body(j, _):
+        get_dma(j).wait()
+
+        @pl.when(j + depth < block)
+        def _():
+            get_dma(j + depth).start()
+
+        return 0
+
+    lax.fori_loop(0, block, body, 0)
+
+
+ALIGN = 8  # measured Mosaic sublane-DMA granularity for 16-bit types
+
+
+def build_shifted_cube_bf16(padded: jax.Array) -> jax.Array:
+    """(8, rows, cols + span - w ..., 128) bf16 shift cube for
+    :func:`gather_patches_pallas_shifted`: copy ``k`` is the lane-padded
+    bf16 cube shifted left by ``k`` columns.  ~8 x cube-bytes/2 of HBM
+    (PaviaU 60-PC: ~470 MB) buys DMA slices whose column offsets are
+    provably 8-aligned.  Built once per dispatch (hoisted out of the
+    training scans by ``make_train_gather``'s prep_cube contract)."""
+    bf = lane_pad_cube(padded.astype(jnp.bfloat16))
+    cols = bf.shape[1]
+    pad = jnp.pad(bf, ((0, 0), (0, ALIGN + 7), (0, 0)))
+    return jnp.stack([pad[:, k:k + cols + ALIGN - 1] for k in range(ALIGN)])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cols", "w", "interpret", "block",
+                                    "depth"))
+def gather_patches_pallas_shifted(cube8: jax.Array, pixel_idx: jax.Array,
+                                  *, cols: int, w: int,
+                                  interpret: bool = False,
+                                  block: int = BLOCK,
+                                  depth: int = DEPTH) -> jax.Array:
+    """Gather (B, w, w, 128) bf16 patches from the 8-shift cube.
+
+    Same index contract as :func:`gather_patches_pallas` (flat pixel
+    indices over the scene's ``cols``); the cube argument must come from
+    :func:`build_shifted_cube_bf16`.  Moves w*span*128*2 bytes per patch
+    (PaviaU w=20: 123 KB vs the f32 Pallas kernel's 205 KB and the ideal
+    f32 60-channel 96 KB) through the DMA engines instead of the XLA
+    per-patch while-loop."""
+    b = pixel_idx.shape[0]
+    ch = cube8.shape[-1]
+    span = -(-w // ALIGN) * ALIGN
+
+    pad_b = (-b) % block
+    if pad_b:
+        out = gather_patches_pallas_shifted(
+            cube8, jnp.pad(pixel_idx, (0, pad_b)), cols=cols, w=w,
+            interpret=interpret, block=block, depth=depth)
+        return out[:b]
+
+    r = (pixel_idx // cols).astype(jnp.int32)
+    c = (pixel_idx % cols).astype(jnp.int32)
+    rck = jnp.stack([r, c // ALIGN, c % ALIGN], axis=1)  # (B, 3)
+
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel_shifted, w, span, ALIGN, block,
+                          depth),
+        grid=(b // block,),
+        in_specs=[
+            pl.BlockSpec((block, 3), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((block, w, span, ch),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((depth,))],
+        out_shape=jax.ShapeDtypeStruct((b, w, span, ch), cube8.dtype),
+        interpret=interpret,
+    )(rck, cube8)
+    return out[:, :, :w, :]
+
+
+def check_gather_mesh(gather_impl: str, mesh) -> None:
+    """pallas_call can't be GSPMD-partitioned (multi-chip inference uses
+    shard_map instead, eval/inference.py); the training steps are
+    GSPMD-jitted, so the Pallas gather knobs are single-chip only."""
+    if gather_impl != "xla" and mesh is not None and mesh.size > 1:
+        raise ValueError(
+            f"gather_impl={gather_impl!r} requires a single-device mesh "
+            f"(got {mesh.size} devices); use gather_impl='xla' for "
+            "multi-chip training")
+
+
+def make_train_gather(gather_impl: str, n_pc: int):
+    """(prep_cube, gather) pair implementing the training gather knob
+    (``CMLPLConfig.gather_impl``) for any trainer's fused step.
+
+    ``prep_cube`` is the one-off per-dispatch cube transform (identity for
+    "xla"; bf16 cast and/or 128-lane channel pad for the Pallas variants)
+    — call it once at each jitted entry point, OUTSIDE the step scans, so
+    the cost is paid per dispatch, not per step.
+
+    ``gather(prepped, pixel_idx, cols, w)`` always returns f32 patches
+    with ``n_pc`` channels, whatever the cube storage — downstream
+    training math is identical across impls up to bf16 INPUT quantisation
+    in "pallas_bf16".
+    """
+    if gather_impl == "xla":
+        def prep_cube(padded):
+            return padded
+
+        def gather(prepped, pixel_idx, cols, w):
+            r = pixel_idx // cols
+            c = pixel_idx % cols
+
+            def one(ri, ci):
+                return jax.lax.dynamic_slice(
+                    prepped, (ri, ci, 0), (w, w, prepped.shape[-1]))
+
+            return jax.vmap(one)(r, c)
+
+        return prep_cube, gather
+
+    if gather_impl == "pallas_bf16":
+        # 16-bit DMA slices need 8-aligned column offsets/shapes -> read
+        # from the 8-shift cube (see _gather_kernel_shifted's docstring)
+        def prep_cube(padded):
+            return build_shifted_cube_bf16(padded)
+
+        def gather(cube8, pixel_idx, cols, w):
+            interp = jax.default_backend() not in ("tpu", "axon")
+            out = gather_patches_pallas_shifted(
+                cube8, pixel_idx, cols=cols, w=w, interpret=interp)
+            return out[..., :n_pc].astype(jnp.float32)
+
+        return prep_cube, gather
+
+    if gather_impl != "pallas":
+        raise ValueError(f"unknown gather_impl {gather_impl!r}")
+
+    def prep_cube(padded):
+        return lane_pad_cube(padded)
+
+    def gather(prepped, pixel_idx, cols, w):
+        interp = jax.default_backend() not in ("tpu", "axon")
+        out = gather_patches_pallas(prepped, pixel_idx, cols=cols, w=w,
+                                    interpret=interp)
+        return out[..., :n_pc].astype(jnp.float32)
+
+    return prep_cube, gather
+
+
 def gather_patches_auto(padded: jax.Array, pixel_idx: jax.Array, *,
                         cols: int, w: int) -> jax.Array:
     """Pallas on TPU, XLA gather elsewhere."""

@@ -29,7 +29,6 @@ from cmlpl_tpu.data.prep import PreparedScene
 from cmlpl_tpu.models.basenet import CCTNet, LinearClassifier
 from cmlpl_tpu.objectives.cct import softmax_js_loss
 from cmlpl_tpu.objectives.supervised import cross_entropy
-from cmlpl_tpu.train.cmlpl import _gather_patches_local
 from cmlpl_tpu.train.driver import EpochDriver, stack_schedule
 from cmlpl_tpu.train.state import CMLPLConfig
 
@@ -58,6 +57,9 @@ class CCTTrainer(EpochDriver):
                     f"labeled/unlabeled batch sizes "
                     f"({config.labeled_batch}/{config.unlabeled_batch}) "
                     f"must be divisible by the mesh data-axis size {d}")
+        from cmlpl_tpu.ops.patch_gather import check_gather_mesh
+
+        check_gather_mesh(config.gather_impl, mesh)
         self._donate = (0,) if donate else ()
         self.encoder = CCTNet(
             num_features=config.num_features, dropout=config.dropout,
@@ -100,6 +102,10 @@ class CCTTrainer(EpochDriver):
         encoder = self.encoder
         head = self.head
 
+        from cmlpl_tpu.ops.patch_gather import make_train_gather
+
+        prep_cube, gather_xp = make_train_gather(cfg.gather_impl, cfg.n_pc)
+
         def step(state: CCTTrainState, padded, spectra, lab_idx, lab_y,
                  unl_idx, cols: int) -> Tuple[CCTTrainState, dict]:
             w = cfg.patch_size
@@ -107,9 +113,9 @@ class CCTTrainer(EpochDriver):
             rng, k_noise, k_drop = jax.random.split(state.rng, 3)
             nk = jax.random.split(k_noise, 6)
 
-            xp_l = _gather_patches_local(padded, lab_idx, cols, w)
+            xp_l = gather_xp(padded, lab_idx, cols, w)
             x_l = gather_spectra(spectra, lab_idx)
-            xp_u = _gather_patches_local(padded, unl_idx, cols, w)
+            xp_u = gather_xp(padded, unl_idx, cols, w)
             x_u = gather_spectra(spectra, unl_idx)
 
             def noisy(k, a, scale=cfg.noise):
@@ -192,31 +198,42 @@ class CCTTrainer(EpochDriver):
 
             return jax.lax.scan(body, state, (lab_idx, lab_y, unl_idx))
 
+        # per-dispatch cube transform for the configured gather
+        # (prep_cube is idempotent; see train/cps.py)
+        def step_entry(state, padded, *rest):
+            return step(state, prep_cube(padded), *rest)
+
+        def epoch_entry(state, padded, *rest):
+            return epoch_fn(state, prep_cube(padded), *rest)
+
+        def run_entry(state, padded, *rest):
+            return run_fn(state, prep_cube(padded), *rest)
+
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             batch_sh = NamedSharding(self.mesh, P("data"))
             epoch_sh = NamedSharding(self.mesh, P(None, "data"))
             run_sh = NamedSharding(self.mesh, P(None, None, "data"))
-            return (jax.jit(step, static_argnums=(6,),
+            return (jax.jit(step_entry, static_argnums=(6,),
                             in_shardings=(repl, repl, repl, batch_sh,
                                           batch_sh, batch_sh),
                             out_shardings=(repl, repl),
                             donate_argnums=self._donate),
-                    jax.jit(epoch_fn, static_argnums=(6,),
+                    jax.jit(epoch_entry, static_argnums=(6,),
                             in_shardings=(repl, repl, repl, epoch_sh,
                                           epoch_sh, epoch_sh),
                             out_shardings=(repl, repl),
                             donate_argnums=self._donate),
-                    jax.jit(run_fn, static_argnums=(6,),
+                    jax.jit(run_entry, static_argnums=(6,),
                             in_shardings=(repl, repl, repl, run_sh,
                                           run_sh, run_sh),
                             out_shardings=(repl, repl),
                             donate_argnums=self._donate))
-        return (jax.jit(step, static_argnums=(6,),
+        return (jax.jit(step_entry, static_argnums=(6,),
                         donate_argnums=self._donate),
-                jax.jit(epoch_fn, static_argnums=(6,),
+                jax.jit(epoch_entry, static_argnums=(6,),
                         donate_argnums=self._donate),
-                jax.jit(run_fn, static_argnums=(6,),
+                jax.jit(run_entry, static_argnums=(6,),
                         donate_argnums=self._donate))
 
     def train_step(self, state, scene: PreparedScene, lab_idx, lab_y,

@@ -87,6 +87,9 @@ class CMLPLTrainer(EpochDriver):
                     f"labeled/unlabeled batch sizes "
                     f"({config.labeled_batch}/{config.unlabeled_batch}) "
                     f"must be divisible by the mesh data-axis size {d}")
+        from cmlpl_tpu.ops.patch_gather import check_gather_mesh
+
+        check_gather_mesh(config.gather_impl, mesh)
         self._donate = (0,) if donate else ()
         self.model = BaseNet2(
             num_features=config.num_features, dropout=config.dropout,
@@ -182,6 +185,10 @@ class CMLPLTrainer(EpochDriver):
             return model.apply({"params": params}, xp, x, train=True,
                                rngs={"dropout": drop_rng})
 
+        from cmlpl_tpu.ops.patch_gather import make_train_gather
+
+        prep_cube, gather_xp = make_train_gather(cfg.gather_impl, cfg.n_pc)
+
         def step(state: CMLPLTrainState, padded, spectra, lab_idx, lab_y,
                  unl_idx, adap_mask_thr, warm,
                  cols: int) -> Tuple[CMLPLTrainState, dict]:
@@ -196,10 +203,11 @@ class CMLPLTrainer(EpochDriver):
                     state.rng, 4)
             nk = jax.random.split(k_noise, 8)
 
-            # on-device gather (train.py:156-167 did host->device copies)
-            xp_l = _gather_patches_local(padded, lab_idx, cols, w)
+            # on-device gather (train.py:156-167 did host->device copies);
+            # ``padded`` arrives pre-prepped (prep_cube) from the entry fns
+            xp_l = gather_xp(padded, lab_idx, cols, w)
             x_l = gather_spectra(spectra, lab_idx)
-            xp_u = _gather_patches_local(padded, unl_idx, cols, w)
+            xp_u = gather_xp(padded, unl_idx, cols, w)
             x_u = gather_spectra(spectra, unl_idx)
 
             if cfg.augment:
@@ -374,22 +382,33 @@ class CMLPLTrainer(EpochDriver):
             )
             return new_state, metrics
 
-        def epoch_fn(state, padded, spectra, lab_idx, lab_y, unl_idx,
-                     adap_mask_thr, epoch_gt0, cols):
+        def step_entry(state, padded, spectra, lab_idx, lab_y, unl_idx,
+                       adap_mask_thr, warm, cols):
+            return step(state, prep_cube(padded), spectra, lab_idx, lab_y,
+                        unl_idx, adap_mask_thr, warm, cols)
+
+        def epoch_scan(state, prepped, spectra, lab_idx, lab_y, unl_idx,
+                       adap_mask_thr, epoch_gt0, cols):
             """A whole epoch as one lax.scan: identical math to the
             per-step path (same rng threading), one dispatch instead of
             ~79 — per-step host dispatch over a remote TPU link costs more
-            than the step's compute."""
+            than the step's compute.  ``prepped`` = prep_cube(padded)."""
 
             def body(carry, inputs):
                 i, li, ly, ui = inputs
                 warm = jnp.logical_or(epoch_gt0, i > cfg.queue_batch)
-                return step(carry, padded, spectra, li, ly, ui,
+                return step(carry, prepped, spectra, li, ly, ui,
                             adap_mask_thr, warm, cols)
 
             n = lab_idx.shape[0]
             steps = jnp.arange(n, dtype=jnp.int32)
             return lax.scan(body, state, (steps, lab_idx, lab_y, unl_idx))
+
+        def epoch_fn(state, padded, spectra, lab_idx, lab_y, unl_idx,
+                     adap_mask_thr, epoch_gt0, cols):
+            return epoch_scan(state, prep_cube(padded), spectra, lab_idx,
+                              lab_y, unl_idx, adap_mask_thr, epoch_gt0,
+                              cols)
 
         def run_fn(state, padded, spectra, lab_idx, lab_y, unl_idx,
                    adap_per_epoch, cols):
@@ -398,11 +417,12 @@ class CMLPLTrainer(EpochDriver):
             per-epoch adaptive threshold comes in as an (E,) array and
             the warmup flag is computed from the epoch/step counters —
             identical math to fit()'s per-epoch path."""
+            prepped = prep_cube(padded)
 
             def epoch_body(carry, xs):
                 e_idx, li_e, ly_e, ui_e, adap_e = xs
-                return epoch_fn(carry, padded, spectra, li_e, ly_e, ui_e,
-                                adap_e, e_idx > 0, cols)
+                return epoch_scan(carry, prepped, spectra, li_e, ly_e,
+                                  ui_e, adap_e, e_idx > 0, cols)
 
             e = lab_idx.shape[0]
             epochs = jnp.arange(e, dtype=jnp.int32)
@@ -417,7 +437,7 @@ class CMLPLTrainer(EpochDriver):
             run_sh = NamedSharding(self.mesh, P(None, None, "data"))
             state_sh = self._state_sh
             jit_step = jax.jit(
-                step,
+                step_entry,
                 static_argnums=(8,),
                 in_shardings=(state_sh, repl, repl, batch_sh, batch_sh,
                               batch_sh, repl, repl),
@@ -441,7 +461,7 @@ class CMLPLTrainer(EpochDriver):
                 donate_argnums=self._donate,
             )
             return jit_step, jit_epoch, jit_run
-        return (jax.jit(step, static_argnums=(8,),
+        return (jax.jit(step_entry, static_argnums=(8,),
                         donate_argnums=self._donate),
                 jax.jit(epoch_fn, static_argnums=(8,),
                         donate_argnums=self._donate),

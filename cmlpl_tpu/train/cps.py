@@ -24,7 +24,6 @@ from cmlpl_tpu.data.prep import PreparedScene
 from cmlpl_tpu.models.basenet import BaseNet2
 from cmlpl_tpu.objectives.cps import cps_cross_supervision
 from cmlpl_tpu.objectives.supervised import cross_entropy
-from cmlpl_tpu.train.cmlpl import _gather_patches_local
 from cmlpl_tpu.train.driver import EpochDriver, stack_schedule
 from cmlpl_tpu.train.state import CMLPLConfig, NetState
 
@@ -58,6 +57,9 @@ class CPSTrainer(EpochDriver):
                     f"labeled/unlabeled batch sizes "
                     f"({config.labeled_batch}/{config.unlabeled_batch}) "
                     f"must be divisible by the mesh data-axis size {d}")
+        from cmlpl_tpu.ops.patch_gather import check_gather_mesh
+
+        check_gather_mesh(config.gather_impl, mesh)
         self._donate = (0,) if donate else ()
         self.model = BaseNet2(
             num_features=config.num_features, dropout=config.dropout,
@@ -92,6 +94,10 @@ class CPSTrainer(EpochDriver):
             return model.apply({"params": params}, xp, x, train=True,
                                rngs={"dropout": drop_rng})
 
+        from cmlpl_tpu.ops.patch_gather import make_train_gather
+
+        prep_cube, gather_xp = make_train_gather(cfg.gather_impl, cfg.n_pc)
+
         def step(state: CPSTrainState, padded, spectra, lab_idx, lab_y,
                  unl_idx, cols: int) -> Tuple[CPSTrainState, dict]:
             w = cfg.patch_size
@@ -99,9 +105,9 @@ class CPSTrainer(EpochDriver):
             rng, k_noise, k_db, k_de = jax.random.split(state.rng, 4)
             nk = jax.random.split(k_noise, 8)
 
-            xp_l = _gather_patches_local(padded, lab_idx, cols, w)
+            xp_l = gather_xp(padded, lab_idx, cols, w)
             x_l = gather_spectra(spectra, lab_idx)
-            xp_u = _gather_patches_local(padded, unl_idx, cols, w)
+            xp_u = gather_xp(padded, unl_idx, cols, w)
             x_u = gather_spectra(spectra, unl_idx)
 
             def noisy(k, a):
@@ -164,31 +170,43 @@ class CPSTrainer(EpochDriver):
 
             return jax.lax.scan(body, state, (lab_idx, lab_y, unl_idx))
 
+        # entry wrappers: the configured gather's cube transform happens
+        # once per dispatch, outside the scans (prep_cube is idempotent,
+        # so run_fn's internal epoch_fn calls are safe)
+        def step_entry(state, padded, *rest):
+            return step(state, prep_cube(padded), *rest)
+
+        def epoch_entry(state, padded, *rest):
+            return epoch_fn(state, prep_cube(padded), *rest)
+
+        def run_entry(state, padded, *rest):
+            return run_fn(state, prep_cube(padded), *rest)
+
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             batch_sh = NamedSharding(self.mesh, P("data"))
             epoch_sh = NamedSharding(self.mesh, P(None, "data"))
             run_sh = NamedSharding(self.mesh, P(None, None, "data"))
-            return (jax.jit(step, static_argnums=(6,),
+            return (jax.jit(step_entry, static_argnums=(6,),
                             in_shardings=(repl, repl, repl, batch_sh,
                                           batch_sh, batch_sh),
                             out_shardings=(repl, repl),
                             donate_argnums=self._donate),
-                    jax.jit(epoch_fn, static_argnums=(6,),
+                    jax.jit(epoch_entry, static_argnums=(6,),
                             in_shardings=(repl, repl, repl, epoch_sh,
                                           epoch_sh, epoch_sh),
                             out_shardings=(repl, repl),
                             donate_argnums=self._donate),
-                    jax.jit(run_fn, static_argnums=(6,),
+                    jax.jit(run_entry, static_argnums=(6,),
                             in_shardings=(repl, repl, repl, run_sh,
                                           run_sh, run_sh),
                             out_shardings=(repl, repl),
                             donate_argnums=self._donate))
-        return (jax.jit(step, static_argnums=(6,),
+        return (jax.jit(step_entry, static_argnums=(6,),
                         donate_argnums=self._donate),
-                jax.jit(epoch_fn, static_argnums=(6,),
+                jax.jit(epoch_entry, static_argnums=(6,),
                         donate_argnums=self._donate),
-                jax.jit(run_fn, static_argnums=(6,),
+                jax.jit(run_entry, static_argnums=(6,),
                         donate_argnums=self._donate))
 
     def train_step(self, state, scene: PreparedScene, lab_idx, lab_y,

@@ -42,6 +42,15 @@ class CMLPLConfig:
     # performance knobs (defaults preserve reference numerics)
     compute_dtype: str = "float32"   # "bfloat16" for MXU-native compute
     rng_impl: str = "threefry2x32"   # "rbg" is much faster on TPU
+    # training patch-gather implementation:
+    #   "xla"         vmapped dynamic_slice (default; reference numerics)
+    #   "pallas"      Pallas DMA gather, f32 cube lane-padded 60->128 ch
+    #                 (moves 2.1x the bytes; measured slower — kept for A/B)
+    #   "pallas_bf16" Pallas DMA gather from a bf16 cube (halves DMA bytes;
+    #                 patches upcast to f32 after the gather, so all
+    #                 training math stays f32 — only the patch INPUT
+    #                 precision changes)
+    gather_impl: str = "xla"
     # opt-in objectives the reference imports but never invokes
     # (loss_helper.py, models.py:14-39, the missing `regularizer` module):
     # "" | "memobank" (U2PL InfoNCE, net E teaches net B) | "mmd"

@@ -22,7 +22,6 @@ from cmlpl_tpu.data.augment import radiation_noise, random_flip, random_rot90
 from cmlpl_tpu.data.patches import gather_spectra
 from cmlpl_tpu.data.prep import PreparedScene
 from cmlpl_tpu.objectives.supervised import cross_entropy
-from cmlpl_tpu.train.cmlpl import _gather_patches_local
 
 
 class SupervisedState(NamedTuple):
@@ -39,7 +38,7 @@ class SupervisedTrainer:
     def __init__(self, model, entry, *, lr: float = 5e-4,
                  patch_size: int, n_pc: int, num_features: int,
                  mesh: Optional[Mesh] = None, augment: bool = False,
-                 donate: bool = True):
+                 donate: bool = True, gather_impl: str = "xla"):
         self.model = model
         self.entry = entry            # ZooEntry: inputs/returns_feature
         self.patch_size = patch_size
@@ -47,6 +46,7 @@ class SupervisedTrainer:
         self.num_features = num_features
         self.mesh = mesh
         self.augment = augment
+        self.gather_impl = gather_impl
         self._donate = (0,) if donate else ()
         self.optimizer = optax.adam(lr)
         self._step_fn, self._run_fn = self._build_step()
@@ -91,12 +91,16 @@ class SupervisedTrainer:
     def _build_step(self):
         augment = self.augment
 
+        from cmlpl_tpu.ops.patch_gather import make_train_gather
+
+        prep_cube, gather_xp = make_train_gather(self.gather_impl,
+                                                 self.n_pc)
+
         def step(state: SupervisedState, padded, spectra, lab_idx, lab_y,
                  cols: int) -> Tuple[SupervisedState, dict]:
             rng, k_aug1, k_aug2, k_aug3, k_drop = jax.random.split(
                 state.rng, 5)
-            xp = _gather_patches_local(padded, lab_idx, cols,
-                                       self.patch_size)
+            xp = gather_xp(padded, lab_idx, cols, self.patch_size)
             x = gather_spectra(spectra, lab_idx)
             if augment:
                 xp = random_flip(k_aug1, xp)
@@ -140,23 +144,29 @@ class SupervisedTrainer:
 
             return jax.lax.scan(body, state, (lab_idx, lab_y))
 
+        def step_entry(state, padded, *rest):
+            return step(state, prep_cube(padded), *rest)
+
+        def run_entry(state, padded, *rest):
+            return run_fn(state, prep_cube(padded), *rest)
+
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             batch_sh = NamedSharding(self.mesh, P("data"))
             run_sh = NamedSharding(self.mesh, P(None, "data"))
-            return (jax.jit(step, static_argnums=(5,),
+            return (jax.jit(step_entry, static_argnums=(5,),
                             in_shardings=(repl, repl, repl, batch_sh,
                                           batch_sh),
                             out_shardings=(repl, repl),
                             donate_argnums=self._donate),
-                    jax.jit(run_fn, static_argnums=(5,),
+                    jax.jit(run_entry, static_argnums=(5,),
                             in_shardings=(repl, repl, repl, run_sh,
                                           run_sh),
                             out_shardings=(repl, repl),
                             donate_argnums=self._donate))
-        return (jax.jit(step, static_argnums=(5,),
+        return (jax.jit(step_entry, static_argnums=(5,),
                         donate_argnums=self._donate),
-                jax.jit(run_fn, static_argnums=(5,),
+                jax.jit(run_entry, static_argnums=(5,),
                         donate_argnums=self._donate))
 
     def train_step(self, state, scene: PreparedScene, lab_idx, lab_y):

@@ -61,3 +61,25 @@ def test_draw_result_palette(tiny_scene):
     flat = img.reshape(-1, 3)
     np.testing.assert_allclose(flat[labels == 0], 0.0)
     assert img.max() <= 1.0
+
+
+def test_scene_predictor_pallas_bf16_gather(tiny_scene):
+    """The opt-in bf16-DMA inference gather (interpret mode on CPU)
+    agrees with the default path on nearly every pixel (bf16 INPUT
+    quantisation can flip genuinely ambiguous pixels only)."""
+    model = BaseNet2(num_features=103, num_classes=9, n_pc=tiny_scene.n_pc)
+    xp0 = jnp.zeros((1, 20, 20, tiny_scene.n_pc))
+    x0 = jnp.zeros((1, 103))
+    params = model.init(jax.random.key(1), xp0, x0, train=False)["params"]
+
+    def apply(p, xp, x):
+        return model.apply({"params": p}, xp, x, train=False)[0]
+
+    base = ScenePredictor(apply, patch_size=20, cols=tiny_scene.cols,
+                          tile=256)(params, tiny_scene)
+    bf16 = ScenePredictor(apply, patch_size=20, cols=tiny_scene.cols,
+                          tile=256, gather="pallas_bf16")(params,
+                                                          tiny_scene)
+    assert bf16.shape == base.shape
+    agree = np.mean(bf16 == base)
+    assert agree > 0.99, f"bf16 gather flipped {100*(1-agree):.2f}% pixels"

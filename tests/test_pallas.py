@@ -43,3 +43,97 @@ def test_lane_pad_cube():
     np.testing.assert_allclose(np.asarray(padded[..., 60:]), 0.0)
     y = jnp.ones((4, 4, 128))
     assert lane_pad_cube(y) is y
+
+
+def test_make_train_gather_variants(rng):
+    """The gather knob's three impls agree (bf16 up to input quantisation)."""
+    from cmlpl_tpu.ops.patch_gather import make_train_gather
+
+    X = rng.normal(size=(30, 22, 8)).astype(np.float32)
+    padded = jnp.asarray(pad_symmetric(X, 10))
+    idx = jnp.asarray(rng.integers(0, 30 * 22, size=32).astype(np.int32))
+
+    prep_x, gather_x = make_train_gather("xla", 8)
+    want = np.asarray(gather_x(prep_x(padded), idx, 22, 20))
+
+    prep_p, gather_p = make_train_gather("pallas", 8)
+    got_p = np.asarray(gather_p(prep_p(padded), idx, 22, 20))
+    assert got_p.dtype == np.float32 and got_p.shape == want.shape
+    np.testing.assert_allclose(got_p, want)
+
+    prep_b, gather_b = make_train_gather("pallas_bf16", 8)
+    prepped = prep_b(padded)
+    # the 8-column-shift cube: (8, rows, cols + 7, 128) bf16
+    assert prepped.dtype == jnp.bfloat16
+    assert prepped.shape == (8, padded.shape[0], padded.shape[1] + 7, 128)
+    got_b = np.asarray(gather_b(prepped, idx, 22, 20))
+    assert got_b.dtype == np.float32
+    # exact vs the bf16-quantised oracle
+    oracle = np.asarray(gather_x(
+        prep_x(padded.astype(jnp.bfloat16).astype(jnp.float32)),
+        idx, 22, 20))
+    np.testing.assert_allclose(got_b, oracle)
+
+
+def test_shifted_gather_odd_w_and_ragged(rng):
+    """The 8-shift kernel for odd w (span rounds to 16) + ragged batch."""
+    from cmlpl_tpu.ops.patch_gather import (build_shifted_cube_bf16,
+                                            gather_patches_pallas_shifted)
+
+    X = rng.normal(size=(16, 16, 4)).astype(np.float32)
+    padded = jnp.asarray(pad_symmetric(X, 4))  # w=9 odd: hw=4, +1 col
+    padded = jnp.pad(padded, ((0, 1), (0, 1), (0, 0)))
+    idx = jnp.asarray(rng.integers(0, 256, size=21).astype(np.int32))
+    want = np.asarray(gather_patches(
+        padded.astype(jnp.bfloat16).astype(jnp.float32), idx,
+        cols=16, w=9))
+    cube8 = build_shifted_cube_bf16(padded)
+    got = np.asarray(gather_patches_pallas_shifted(
+        cube8, idx, cols=16, w=9, interpret=True)[..., :4],
+        dtype=np.float32)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want)
+
+
+def test_check_gather_mesh_guard():
+    import jax
+    from jax.sharding import Mesh
+
+    from cmlpl_tpu.ops.patch_gather import check_gather_mesh
+
+    devs = np.array(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devs, ("data",))
+    check_gather_mesh("xla", mesh)          # always fine
+    check_gather_mesh("pallas_bf16", None)  # no mesh: fine
+    with pytest.raises(ValueError, match="single-device mesh"):
+        check_gather_mesh("pallas_bf16", mesh)
+
+
+def test_cmlpl_step_with_pallas_bf16_gather(tiny_scene, tiny_splits):
+    """A fused CMLPL step with gather_impl=pallas_bf16 (interpret mode on
+    CPU) stays close to the default-xla step: same rng stream, only the
+    patch INPUT precision differs."""
+    import jax
+
+    from cmlpl_tpu.train import CMLPLConfig, CMLPLTrainer
+
+    scene = tiny_scene
+    kw = dict(num_classes=9, num_features=103, n_pc=scene.n_pc,
+              patch_size=scene.patch_size, labeled_batch=8,
+              unlabeled_batch=8, num_unlabel=32, num_epochs=2,
+              noise=0.0, dropout=0.0, thr=0.0)
+    li = tiny_splits.train[:8].astype(np.int32)
+    ly = (scene.labels[li] - 1).astype(np.int32)
+    ui = tiny_splits.unlabeled[:8].astype(np.int32)
+
+    losses = {}
+    for impl in ["xla", "pallas_bf16"]:
+        trainer = CMLPLTrainer(CMLPLConfig(gather_impl=impl, **kw),
+                               donate=False)
+        state = trainer.init_state(jax.random.key(0))
+        state, m = trainer.train_step(state, scene, li, ly, ui,
+                                      epoch=0, batch_index=0)
+        losses[impl] = float(m["total_loss"])
+    assert np.isfinite(losses["pallas_bf16"])
+    np.testing.assert_allclose(losses["pallas_bf16"], losses["xla"],
+                               rtol=2e-2)
