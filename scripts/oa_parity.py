@@ -53,6 +53,14 @@ def run(argv=None) -> dict:
     p.add_argument("--allow_synthetic", action="store_true",
                    help="run the harness even without the real cube "
                         "(OA is NOT comparable; harness validation only)")
+    # perf knobs, so the pending bf16/rbg OA-impact study (CLAUDE.md) is
+    # one command per knob the moment the real cube is present
+    p.add_argument("--rng_impl", default="threefry2x32",
+                   choices=["threefry2x32", "rbg"])
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--eval_gather", default="auto",
+                   choices=["auto", "xla", "pallas", "pallas_bf16"])
     p.add_argument("--cpu", action="store_true",
                    help="force JAX onto host CPU (tiny configs only)")
     args = p.parse_args(argv)
@@ -90,7 +98,8 @@ def run(argv=None) -> dict:
         labeled_batch=args.labeled_batch_size,
         unlabeled_batch=args.unlabeled_batch_size,
         val_batch=args.val_batch_size, num_epochs=args.num_epochs,
-        num_unlabel=args.num_unlabel, dropout=args.dropout)
+        num_unlabel=args.num_unlabel, dropout=args.dropout,
+        rng_impl=args.rng_impl, compute_dtype=args.compute_dtype)
     trainer = CMLPLTrainer(cfg)
     model = trainer.model
 
@@ -98,7 +107,8 @@ def run(argv=None) -> dict:
         return model.apply({"params": params}, xp, x, train=False)[0]
 
     predictor = ScenePredictor(apply_b, patch_size=cfg.patch_size,
-                               cols=scene.cols, tile=cfg.val_batch)
+                               cols=scene.cols, tile=cfg.val_batch,
+                               gather=args.eval_gather)
     y_test = scene.labels[splits.test] - 1
 
     oa_b, oa_e = [], []
@@ -107,8 +117,8 @@ def run(argv=None) -> dict:
         sampler = SemiSupervisedSampler(
             splits, scene.labels, cfg.labeled_batch, cfg.unlabeled_batch,
             num_unlabel=cfg.num_unlabel, seed=1088 + seed)
-        state = trainer.init_state(
-            jax.random.fold_in(jax.random.key(cfg.seed), seed))
+        state = trainer.init_state(jax.random.fold_in(
+            jax.random.key(cfg.seed, impl=args.rng_impl), seed))
         state, _ = trainer.train_run(state, scene, sampler)
         acc_b = cal_accuracy(predictor(state.net_b.params, scene)
                              [splits.test], y_test)
@@ -124,6 +134,9 @@ def run(argv=None) -> dict:
     result = {
         "metric": "oa_parity",
         "dataset": spec.name,
+        "knobs": {"rng_impl": args.rng_impl,
+                  "compute_dtype": args.compute_dtype,
+                  "eval_gather": args.eval_gather},
         "real_data": bool(real or spec.data_id == 0),
         "num_label": args.num_label,
         "seeds": args.seeds,

@@ -63,7 +63,7 @@ def test_oa_parity_harness_end_to_end(capsys):
         "--val_batch_size", "128", "--dropout", "0.0"])
     line = capsys.readouterr().out.strip().splitlines()[-1]
     parsed = json.loads(line)
-    assert parsed == pytest.approx(result, abs=1e-9) or parsed == result
+    assert parsed == result
     assert result["seeds"] == 2
     assert len(result["oa_net_b"]) == 2
     assert all(0.0 <= v <= 100.0 for v in result["oa_net_b"])
