@@ -137,3 +137,30 @@ def test_cmlpl_step_with_pallas_bf16_gather(tiny_scene, tiny_splits):
     assert np.isfinite(losses["pallas_bf16"])
     np.testing.assert_allclose(losses["pallas_bf16"], losses["xla"],
                                rtol=2e-2)
+
+
+def test_cps_cct_step_with_pallas_bf16_gather(tiny_scene, tiny_splits):
+    """The gather knob is honored by the CPS/CCT fused steps too."""
+    import jax
+
+    from cmlpl_tpu.train import CMLPLConfig, CPSTrainer, CCTTrainer
+
+    scene = tiny_scene
+    kw = dict(num_classes=9, num_features=103, n_pc=scene.n_pc,
+              patch_size=scene.patch_size, labeled_batch=8,
+              unlabeled_batch=8, num_unlabel=32, num_epochs=1,
+              noise=0.0, dropout=0.0)
+    li = tiny_splits.train[:8].astype(np.int32)
+    ly = (scene.labels[li] - 1).astype(np.int32)
+    ui = tiny_splits.unlabeled[:8].astype(np.int32)
+
+    for cls in [CPSTrainer, CCTTrainer]:
+        losses = {}
+        for impl in ["xla", "pallas_bf16"]:
+            t = cls(CMLPLConfig(gather_impl=impl, **kw), donate=False)
+            s = t.init_state(jax.random.key(0))
+            _, m = t.train_step(s, scene, li, ly, ui)
+            losses[impl] = float(m["total_loss"])
+        assert np.isfinite(losses["pallas_bf16"]), cls.__name__
+        np.testing.assert_allclose(losses["pallas_bf16"], losses["xla"],
+                                   rtol=2e-2, err_msg=cls.__name__)
