@@ -72,3 +72,23 @@ def test_oa_parity_harness_end_to_end(capsys):
                       atol=0.01)
     # synthetic scene: no parity verdict is ever emitted
     assert result["parity"] is None
+
+
+def test_fetch_one_downloads_and_converts(tmp_path, rng):
+    """fetch_one with a file:// URL exercises download + key conversion
+    offline (the real run only swaps the URL scheme)."""
+    import scipy.io as sio
+
+    src = tmp_path / "Salinas_corrected.mat"
+    X = rng.normal(size=(5, 4, 3))
+    sio.savemat(str(src), {"salinas_corrected": X})
+    dest = tmp_path / "salinas.mat"
+    ok = fetch_datasets.fetch_one(src.as_uri(), str(dest),
+                                  ("salinas_corrected", "HSI_original"))
+    assert ok and dest.exists()
+    np.testing.assert_allclose(sio.loadmat(str(dest))["HSI_original"], X)
+
+    # no-convert path
+    dest2 = tmp_path / "PaviaU.mat"
+    ok = fetch_datasets.fetch_one(src.as_uri(), str(dest2), None)
+    assert ok and dest2.exists()
