@@ -57,18 +57,6 @@ from cmlpl_tpu.train.driver import EpochDriver, stack_schedule
 from cmlpl_tpu.train.state import CMLPLConfig, CMLPLTrainState, NetState
 
 
-def _gather_patches_local(padded, pixel_idx, cols, w):
-    """Patch gather inlined (unjitted) so it fuses into the train step."""
-    r = pixel_idx // cols
-    c = pixel_idx % cols
-
-    def one(ri, ci):
-        return lax.dynamic_slice(padded, (ri, ci, 0),
-                                 (w, w, padded.shape[-1]))
-
-    return jax.vmap(one)(r, c)
-
-
 class CMLPLTrainer(EpochDriver):
     """Builds and drives the fused CMLPL train step."""
 
