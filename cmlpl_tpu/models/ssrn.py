@@ -15,8 +15,13 @@ import flax.linen as nn
 
 
 class Residual3D(nn.Module):
-    """3-D residual block (conpared_models.py:1086-1108): conv+ReLU, conv,
-    BN on both, optional 1x1 shortcut, ReLU(sum)."""
+    """3-D residual block (conpared_models.py:1086-1108).
+
+    The reference's ``conv1`` is ``Sequential(Conv3d, ReLU)`` and the
+    forward applies ``F.relu(bn1(conv1(X)))`` — so the first conv is
+    followed by ReLU, BN, and a SECOND ReLU (invisible at init, where BN
+    is the identity on a non-negative input, but real after training;
+    pinned by tests/test_zoo_torch_parity.py with randomised BN stats)."""
 
     out_channels: int
     kernel: tuple
@@ -30,6 +35,7 @@ class Residual3D(nn.Module):
                     name="conv1")(x)
         y = nn.relu(y)
         y = nn.BatchNorm(use_running_average=not train, name="bn1")(y)
+        y = nn.relu(y)
         y = nn.Conv(self.out_channels, self.kernel, padding=pad,
                     name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, name="bn2")(y)

@@ -353,3 +353,214 @@ def test_ssftt_forward_matches_torch(rng):
     with torch.no_grad():
         got = net(_t(xp).permute(0, 3, 1, 2)).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------------------------------- #
+# SSRN / FDSSC torch transplants.  BN statistics, BN affine params and
+# PReLU slopes are RANDOMISED before the comparison: at init flax/torch
+# BN is the identity on non-negative inputs, which hides activation-
+# ordering divergences (this suite caught a missing post-bn1 ReLU in the
+# SSRN residual block that way).
+# --------------------------------------------------------------------- #
+
+
+def _randomize_bn(params, stats, rng):
+    """Randomise every BN (scale/bias + running mean/var) and PReLU slope
+    in-place; returns the mutated (params, stats)."""
+
+    def walk(p, s):
+        for key, val in p.items():
+            sub_s = s.get(key) if isinstance(s, dict) else None
+            if isinstance(val, dict):
+                if "scale" in val and isinstance(sub_s, dict) \
+                        and "mean" in sub_s:
+                    n = val["scale"].shape
+                    val["scale"] = rng.uniform(0.5, 1.5, n).astype("f")
+                    val["bias"] = rng.normal(0, 0.5, n).astype("f")
+                    sub_s["mean"] = rng.normal(0, 0.5, n).astype("f")
+                    sub_s["var"] = rng.uniform(0.5, 1.5, n).astype("f")
+                else:
+                    walk(val, sub_s if isinstance(sub_s, dict) else {})
+            elif key == "negative_slope":
+                val2 = rng.uniform(0.05, 0.45, np.shape(val)).astype("f")
+                p[key] = val2
+
+    walk(params, stats)
+    return params, stats
+
+
+def _load_bn(torch_bn, params_bn, stats_bn):
+    torch_bn.weight = torch.nn.Parameter(_t(params_bn["scale"]))
+    torch_bn.bias = torch.nn.Parameter(_t(params_bn["bias"]))
+    torch_bn.running_mean = _t(stats_bn["mean"]).clone()
+    torch_bn.running_var = _t(stats_bn["var"]).clone()
+
+
+def _load_conv3d(torch_conv, params_conv):
+    torch_conv.weight = _conv3d_w(params_conv["kernel"])
+    torch_conv.bias = torch.nn.Parameter(_t(params_conv["bias"]))
+
+
+class TorchSSRNResidual(torch.nn.Module):
+    """conpared_models.py:1086-1108 (no 1x1 shortcut, as used by SSRN)."""
+
+    def __init__(self, ch, kernel, padding):
+        super().__init__()
+        self.conv1 = torch.nn.Conv3d(ch, ch, kernel, padding=padding)
+        self.conv2 = torch.nn.Conv3d(ch, ch, kernel, padding=padding)
+        self.bn1 = torch.nn.BatchNorm3d(ch)
+        self.bn2 = torch.nn.BatchNorm3d(ch)
+
+    def load_flax(self, p, s):
+        _load_conv3d(self.conv1, p["conv1"])
+        _load_conv3d(self.conv2, p["conv2"])
+        _load_bn(self.bn1, p["bn1"], s["bn1"])
+        _load_bn(self.bn2, p["bn2"], s["bn2"])
+
+    def forward(self, x):
+        # reference: conv1 is Sequential(Conv3d, ReLU); then relu(bn1(.))
+        y = F.relu(self.bn1(F.relu(self.conv1(x))))
+        y = self.bn2(self.conv2(y))
+        return F.relu(y + x)
+
+
+class TorchSSRN(torch.nn.Module):
+    """conpared_models.py:1110-1163.  Input (B, band, w, w)."""
+
+    def __init__(self, band, ncls, head_in):
+        super().__init__()
+        k3d = int(np.ceil((band - 6) / 2))
+        self.conv1 = torch.nn.Conv3d(1, 24, (1, 1, 7), stride=(1, 1, 2))
+        self.bn1 = torch.nn.BatchNorm3d(24, eps=0.001)
+        self.res1 = TorchSSRNResidual(24, (1, 1, 7), (0, 0, 3))
+        self.res2 = TorchSSRNResidual(24, (1, 1, 7), (0, 0, 3))
+        self.conv2 = torch.nn.Conv3d(24, 128, (1, 1, k3d))
+        self.bn2 = torch.nn.BatchNorm3d(128, eps=0.001)
+        self.conv3 = torch.nn.Conv3d(1, 24, (3, 3, 128))
+        self.bn3 = torch.nn.BatchNorm3d(24, eps=0.001)
+        self.res3 = TorchSSRNResidual(24, (3, 3, 1), (1, 1, 0))
+        self.res4 = TorchSSRNResidual(24, (3, 3, 1), (1, 1, 0))
+        self.fc = torch.nn.Linear(head_in, ncls)
+
+    def load_flax(self, p, s):
+        for name in ["conv1", "conv2", "conv3"]:
+            _load_conv3d(getattr(self, name), p[name])
+        for name in ["bn1", "bn2", "bn3"]:
+            _load_bn(getattr(self, name), p[name], s[name])
+        for i in range(1, 5):
+            getattr(self, f"res{i}").load_flax(p[f"res{i}"], s[f"res{i}"])
+        self.fc.weight = torch.nn.Parameter(_t(p["head"]["kernel"]).T
+                                            .contiguous())
+        self.fc.bias = torch.nn.Parameter(_t(p["head"]["bias"]))
+
+    def forward(self, x):
+        x = x.unsqueeze(1).permute(0, 1, 3, 4, 2)   # (B,1,w,w,band)
+        x = F.relu(self.bn1(self.conv1(x)))
+        x = self.res2(self.res1(x))
+        x = F.relu(self.bn2(self.conv2(x)))
+        x = x.permute(0, 4, 2, 3, 1)                # (B,1,w,w,128)
+        x = F.relu(self.bn3(self.conv3(x)))
+        x = self.res4(self.res3(x))
+        x = F.avg_pool3d(x, (5, 5, 1))
+        return self.fc(x.reshape(x.shape[0], -1))
+
+
+def test_ssrn_forward_matches_torch(rng):
+    spec = get_dataset(1)
+    model, _ = build_model("ssrn", spec, 103)
+    xp = rng.normal(size=(3, 7, 7, 103)).astype(np.float32)
+    variables = jax.device_get(
+        model.init(jax.random.key(5), jnp.asarray(xp), train=False))
+    params, stats = _randomize_bn(variables["params"],
+                                  variables["batch_stats"], rng)
+    want = np.asarray(model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(xp),
+        train=False))
+
+    net = TorchSSRN(103, 9, head_in=24)
+    net.load_flax(params, stats)
+    net.eval()
+    with torch.no_grad():
+        got = net(_t(xp).permute(0, 3, 1, 2)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class TorchFDSSC(torch.nn.Module):
+    """conpared_models.py:1165-1290.  Input (B, band, w, w); dropout off
+    (eval)."""
+
+    def __init__(self, band, ncls):
+        super().__init__()
+        k3d = int(np.ceil((band - 6) / 2))
+        c3 = torch.nn.Conv3d
+        self.conv1 = c3(1, 24, (1, 1, 7), stride=(1, 1, 2))
+        self.conv2 = c3(24, 12, (1, 1, 7), padding=(0, 0, 3))
+        self.conv3 = c3(36, 12, (1, 1, 7), padding=(0, 0, 3))
+        self.conv4 = c3(48, 12, (1, 1, 7), padding=(0, 0, 3))
+        self.conv5 = c3(60, 200, (1, 1, k3d))
+        self.conv6 = c3(1, 24, (1, 1, 200))
+        self.conv7 = c3(24, 12, (1, 1, 7), padding=(0, 0, 3))
+        self.conv8 = c3(36, 12, (1, 1, 7), padding=(0, 0, 3))
+        self.conv9 = c3(48, 12, (1, 1, 7), padding=(0, 0, 3))
+        chans = {1: 24, 2: 36, 3: 48, 4: 60, 5: 1, 6: 24, 7: 36, 8: 48,
+                 9: 60}
+        for i, ch in chans.items():
+            setattr(self, f"bn{i}",
+                    torch.nn.BatchNorm3d(ch, eps=0.001))
+            if i != 4:
+                setattr(self, f"prelu{i}", torch.nn.PReLU())
+
+    def load_flax(self, p, s):
+        for i in range(1, 10):
+            _load_conv3d(getattr(self, f"conv{i}"), p[f"conv{i}"])
+            _load_bn(getattr(self, f"bn{i}"), p[f"b{i}_bn"], s[f"b{i}_bn"])
+            if i != 4:
+                pr = getattr(self, f"prelu{i}")
+                pr.weight = torch.nn.Parameter(
+                    _t(p[f"b{i}_prelu"]["negative_slope"]).reshape(1))
+        self.fc = torch.nn.Linear(60, 9)
+        self.fc.weight = torch.nn.Parameter(_t(p["head"]["kernel"]).T
+                                            .contiguous())
+        self.fc.bias = torch.nn.Parameter(_t(p["head"]["bias"]))
+
+    def forward(self, x):
+        x = x.unsqueeze(1).permute(0, 1, 3, 4, 2)   # (B,1,w,w,band)
+        x1 = self.conv1(x)
+        x2 = self.conv2(self.prelu1(self.bn1(x1)))
+        x3 = torch.cat([x1, x2], 1)
+        x3 = self.conv3(self.prelu2(self.bn2(x3)))
+        x4 = torch.cat([x1, x2, x3], 1)
+        x4 = self.conv4(self.prelu3(self.bn3(x4)))
+        x5 = torch.cat([x1, x2, x3, x4], 1)
+        x6 = self.conv5(F.relu(self.bn4(x5)))
+        x6 = x6.permute(0, 4, 2, 3, 1)
+        x7 = self.conv6(self.prelu5(self.bn5(x6)))
+        x8 = self.conv7(self.prelu6(self.bn6(x7)))
+        x9 = torch.cat([x7, x8], 1)
+        x9 = self.conv8(self.prelu7(self.bn7(x9)))
+        x10 = torch.cat([x7, x8, x9], 1)
+        x10 = self.conv9(self.prelu8(self.bn8(x10)))
+        x10 = torch.cat([x7, x8, x9, x10], 1)
+        x10 = self.prelu9(self.bn9(x10))
+        pooled = x10.mean(dim=(2, 3, 4))
+        return self.fc(pooled)
+
+
+def test_fdssc_forward_matches_torch(rng):
+    spec = get_dataset(1)
+    model, _ = build_model("fdssc", spec, 103)
+    xp = rng.normal(size=(3, 9, 9, 103)).astype(np.float32)
+    variables = jax.device_get(
+        model.init(jax.random.key(6), jnp.asarray(xp), train=False))
+    params, stats = _randomize_bn(variables["params"],
+                                  variables["batch_stats"], rng)
+    want = np.asarray(model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(xp),
+        train=False))
+
+    net = TorchFDSSC(103, 9)
+    net.load_flax(params, stats)
+    net.eval()
+    with torch.no_grad():
+        got = net(_t(xp).permute(0, 3, 1, 2)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
