@@ -206,7 +206,12 @@ class MultiScaleViT(nn.Module):
                               strides=ps, is_fe=True,
                               name=f"embed_{bi}")(img)
             b, hh, ww, d = h.shape
-            tokens = h.reshape(b, hh * ww, d)
+            # the reference flattens the patch grid TRANSPOSED:
+            # Rearrange('b c w h -> b (h w) c') at conpared_models.py:1458
+            # makes the last spatial dim the outer token index.  The order
+            # matters: the 3x3 conv over attention maps and the flattened
+            # mlp_head are token-order-sensitive.
+            tokens = h.transpose(0, 2, 1, 3).reshape(b, hh * ww, d)
             pos = self.param(f"pos_embedding_{bi}", nn.initializers.zeros,
                              (1, n_patches + 1, self.dim))
             tokens = tokens + pos[:, : tokens.shape[1]]

@@ -564,3 +564,242 @@ def test_fdssc_forward_matches_torch(rng):
     with torch.no_grad():
         got = net(_t(xp).permute(0, 3, 1, 2)).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+# --------------------------------------------------------------------- #
+# MSViT (multi-scale dual-attention ViT, conpared_models.py:1078-1512)
+# --------------------------------------------------------------------- #
+
+
+def _expected_msvit(ncls=9, ch=30, dim=64, heads=4, dim_head=64,
+                    image=8, patch_sizes=(2, 4)):
+    """Forward-participating params only (the reference also carries a
+    dead cls_token per SubNet and never-used spatial/spectral BatchNorms
+    inside Attention, conpared_models.py:1404-1408,1460; its fusion
+    `weight` is a plain ones tensor — ours is the learnable equivalent,
+    +len(patch_sizes) params)."""
+    inner = heads * dim_head
+    ourfe = 3 * (_linear(ch, ch) + 2 * ch) \
+        + (ch * 3 * ch * 9 + ch) + 2 * ch
+    conv4 = _linear(dim, ch)
+    ff = ((9 * dim + dim) + (_linear(256, dim))        # dw depth+point
+          + 2 * 256                                    # bn
+          + _linear(512, 256) + _linear(dim, 512))     # pw1, pw2
+    per_tr = (dim * inner * 3                          # to_qkv (no bias)
+              + (9 * heads * heads + heads)            # spatial_conv
+              + 10                                     # spectral_conv
+              + _linear(dim, inner)                    # to_out
+              + 4 * dim                                # ln_attn + ln_ff
+              + ff)
+    total = ourfe + conv4 + len(patch_sizes)           # + branch_weight
+    for ps in patch_sizes:
+        n = (int((image - ps) / ps) + 1) ** 2
+        total += (ps * ps * dim + dim                  # depthwise embed
+                  + (n + 1) * dim                      # pos_embedding
+                  + per_tr
+                  + n * 3 * n                          # to_qkv_spec
+                  + 2 * n * dim + _linear(ncls, n * dim))  # head LN+Dense
+    return total
+
+
+def test_msvit_param_count_pins_topology():
+    spec = get_dataset(1)
+    model, _ = build_model("msvit", spec, 30)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 30)),
+                           train=False)
+    assert _count(variables["params"]) == _expected_msvit()
+
+
+def _conv2d_w(flax_kernel):
+    """flax (kh, kw, Cin_per_group, Cout) -> torch (Cout, Cin/g, kh, kw)."""
+    return torch.nn.Parameter(_t(flax_kernel).permute(3, 2, 0, 1)
+                              .contiguous())
+
+
+def _load_conv2d(torch_conv, p):
+    torch_conv.weight = _conv2d_w(p["kernel"])
+    torch_conv.bias = torch.nn.Parameter(_t(p["bias"]))
+
+
+def _load_bn2d(torch_bn, p, s):
+    _load_bn(torch_bn, p, s)
+
+
+def _load_lin(dst, p):
+    dst.weight = torch.nn.Parameter(_t(p["kernel"]).T.contiguous())
+    if "bias" in p:
+        dst.bias = torch.nn.Parameter(_t(p["bias"]))
+
+
+class TorchMSViT(torch.nn.Module):
+    """Reference multi-branch ViT (conpared_models.py:1470-1512),
+    forward-participating layers, depth=1, uniform (softmaxed-ones)
+    branch fusion.  Input (B, ch, 8, 8)."""
+
+    def __init__(self, ncls=9, ch=30, dim=64, heads=4, dim_head=64,
+                 image=8, patch_sizes=(2, 4)):
+        super().__init__()
+        self.heads, self.dim_head = heads, dim_head
+        self.patch_sizes = patch_sizes
+        c2 = torch.nn.Conv2d
+        self.c1 = c2(ch, ch, 1)
+        self.c2 = c2(ch, ch, 1)
+        self.c3 = c2(ch, ch, 1)
+        self.out_conv = c2(3 * ch, ch, 3, padding=1)
+        for name in ["c1", "c2", "c3", "out"]:
+            setattr(self, f"{name}_bn", torch.nn.BatchNorm2d(ch))
+        self.conv4 = c2(ch, dim, 1)
+        inner = heads * dim_head
+        for bi, ps in enumerate(patch_sizes):
+            n = (int((image - ps) / ps) + 1) ** 2
+            setattr(self, f"embed_{bi}",
+                    c2(dim, dim, ps, stride=ps, groups=dim))
+            setattr(self, f"pos_{bi}",
+                    torch.nn.Parameter(torch.zeros(1, n + 1, dim)))
+            setattr(self, f"ln_attn_{bi}", torch.nn.LayerNorm(dim))
+            setattr(self, f"to_qkv_{bi}",
+                    torch.nn.Linear(dim, inner * 3, bias=False))
+            setattr(self, f"spatial_conv_{bi}",
+                    c2(heads, heads, 3, padding=1))
+            setattr(self, f"to_out_{bi}", torch.nn.Linear(inner, dim))
+            setattr(self, f"to_qkv_spec_{bi}",
+                    torch.nn.Linear(n, 3 * n, bias=False))
+            setattr(self, f"spectral_conv_{bi}", c2(1, 1, 3, padding=1))
+            setattr(self, f"ln_ff_{bi}", torch.nn.LayerNorm(dim))
+            setattr(self, f"dw_{bi}", c2(dim, dim, 3, padding=1,
+                                         groups=dim))
+            setattr(self, f"dwp_{bi}", c2(dim, 256, 1))
+            setattr(self, f"ffbn_{bi}", torch.nn.BatchNorm2d(256))
+            setattr(self, f"pw1_{bi}", c2(256, 512, 1))
+            setattr(self, f"pw2_{bi}", c2(512, dim, 1))
+            setattr(self, f"head_ln_{bi}", torch.nn.LayerNorm(n * dim))
+            setattr(self, f"head_{bi}", torch.nn.Linear(n * dim, ncls))
+
+    def load_flax(self, p, s):
+        fe_p, fe_s = p["ournet"], s["ournet"]
+        for name in ["c1", "c2", "c3"]:
+            _load_conv2d(getattr(self, name), fe_p[f"{name}_conv"])
+            _load_bn2d(getattr(self, f"{name}_bn"), fe_p[f"{name}_bn"],
+                       fe_s[f"{name}_bn"])
+        _load_conv2d(self.out_conv, fe_p["out_conv"])
+        _load_bn2d(self.out_bn, fe_p["out_bn"], fe_s["out_bn"])
+        _load_conv2d(self.conv4, p["conv4"])
+        for bi in range(len(self.patch_sizes)):
+            tr_p = p[f"transformer_{bi}"]
+            tr_s = s[f"transformer_{bi}"]
+            _load_conv2d(getattr(self, f"embed_{bi}"),
+                         p[f"embed_{bi}"]["depth_conv"])
+            setattr(self, f"pos_{bi}",
+                    torch.nn.Parameter(_t(p[f"pos_embedding_{bi}"])))
+            for ln in [f"ln_attn_", f"ln_ff_"]:
+                layer = getattr(self, f"{ln}{bi}")
+                layer.weight = torch.nn.Parameter(
+                    _t(tr_p[f"{ln}0"]["scale"]))
+                layer.bias = torch.nn.Parameter(_t(tr_p[f"{ln}0"]["bias"]))
+            at = tr_p["attn_0"]
+            _load_lin(getattr(self, f"to_qkv_{bi}"), at["to_qkv"])
+            _load_conv2d(getattr(self, f"spatial_conv_{bi}"),
+                         at["spatial_conv"])
+            _load_lin(getattr(self, f"to_out_{bi}"), at["to_out"])
+            _load_lin(getattr(self, f"to_qkv_spec_{bi}"),
+                      at["to_qkv_spec"])
+            _load_conv2d(getattr(self, f"spectral_conv_{bi}"),
+                         at["spectral_conv"])
+            ff = tr_p["ff_0"]
+            _load_conv2d(getattr(self, f"dw_{bi}"),
+                         ff["dw"]["depth_conv"])
+            _load_conv2d(getattr(self, f"dwp_{bi}"), ff["dw"]["point_conv"])
+            _load_bn2d(getattr(self, f"ffbn_{bi}"), ff["bn"],
+                       tr_s["ff_0"]["bn"])
+            _load_conv2d(getattr(self, f"pw1_{bi}"), ff["pw1"])
+            _load_conv2d(getattr(self, f"pw2_{bi}"), ff["pw2"])
+            hl = getattr(self, f"head_ln_{bi}")
+            hl.weight = torch.nn.Parameter(_t(p[f"LayerNorm_{bi}"]["scale"]))
+            hl.bias = torch.nn.Parameter(_t(p[f"LayerNorm_{bi}"]["bias"]))
+            _load_lin(getattr(self, f"head_{bi}"), p[f"Dense_{bi}"])
+
+    def _attention(self, x, bi):
+        from einops import rearrange
+
+        b, n, d = x.shape
+        qkv = getattr(self, f"to_qkv_{bi}")(x).chunk(3, dim=-1)
+        q, k, v = map(lambda t: rearrange(t, "b n (h d) -> b h n d",
+                                          h=self.heads), qkv)
+        dots = torch.matmul(q, k.transpose(-1, -2)) * self.dim_head ** -0.5
+        attn = torch.softmax(dots, dim=-1)
+        attn = getattr(self, f"spatial_conv_{bi}")(attn)
+        out = torch.matmul(attn, v)
+        out = rearrange(out, "b h n d -> b n (h d)")
+        output = getattr(self, f"to_out_{bi}")(out)
+
+        xt = x.transpose(-2, -1)
+        qs, ks, _ = getattr(self, f"to_qkv_spec_{bi}")(xt).chunk(3, dim=-1)
+        dots_s = torch.matmul(qs, ks.transpose(-1, -2)) \
+            * self.dim_head ** -0.5
+        attn_s = torch.softmax(dots_s, dim=-1)[:, None]
+        attn_s = getattr(self, f"spectral_conv_{bi}")(attn_s).squeeze(1)
+        return torch.matmul(output, attn_s)
+
+    def _ff(self, x, bi):
+        from einops import rearrange
+
+        b, n, c = x.shape
+        w = int(np.sqrt(n))
+        h = rearrange(x, "b (w h) c -> b c w h", w=w, h=w)
+        h = getattr(self, f"dwp_{bi}")(getattr(self, f"dw_{bi}")(h))
+        h = getattr(self, f"ffbn_{bi}")(h)
+        h = F.gelu(getattr(self, f"pw1_{bi}")(h))
+        h = F.gelu(getattr(self, f"pw2_{bi}")(h))
+        return x + rearrange(h, "b c w h -> b (w h) c")
+
+    def forward(self, img):
+        from einops import rearrange
+
+        img = F.relu(self.c1_bn(self.c1(img)))
+        out2 = F.relu(self.c2_bn(self.c2(img)))
+        out3 = F.relu(self.c3_bn(self.c3(out2)))
+        img = F.relu(self.out_bn(self.out_conv(
+            torch.cat([img, out2, out3], 1))))
+        img = F.avg_pool2d(img, 3, stride=1, padding=1,
+                           count_include_pad=True)
+        img = self.conv4(img)
+
+        logits = []
+        for bi in range(len(self.patch_sizes)):
+            emb = getattr(self, f"embed_{bi}")(img)
+            tokens = rearrange(emb, "b c w h -> b (h w) c")
+            n = tokens.shape[1]
+            tokens = tokens + getattr(self, f"pos_{bi}")[:, :n]
+            x = self._attention(getattr(self, f"ln_attn_{bi}")(tokens),
+                                bi) + tokens
+            x = self._ff(getattr(self, f"ln_ff_{bi}")(x), bi) + x
+            flat = x.flatten(start_dim=1)
+            logits.append(getattr(self, f"head_{bi}")(
+                getattr(self, f"head_ln_{bi}")(flat)))
+        w = torch.softmax(torch.ones(len(logits)), 0)
+        return sum(wi * lg for wi, lg in zip(w, logits))
+
+
+def test_msvit_forward_matches_torch(rng):
+    spec = get_dataset(1)
+    model, _ = build_model("msvit", spec, 30)
+    xp = rng.normal(size=(3, 8, 8, 30)).astype(np.float32)
+    variables = jax.device_get(
+        model.init(jax.random.key(9), jnp.asarray(xp), train=False))
+    params, stats = _randomize_bn(variables["params"],
+                                  variables["batch_stats"], rng)
+    # zero-init pos embeddings / convs leave subgraphs invisible —
+    # randomise the leaf params that flax initialises to zeros
+    for bi in range(2):
+        params[f"pos_embedding_{bi}"] = rng.normal(
+            0, 0.3, params[f"pos_embedding_{bi}"].shape).astype("f")
+    want = np.asarray(model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(xp),
+        train=False))
+
+    net = TorchMSViT()
+    net.load_flax(params, stats)
+    net.eval()
+    with torch.no_grad():
+        got = net(_t(xp).permute(0, 3, 1, 2)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
