@@ -803,3 +803,93 @@ def test_msvit_forward_matches_torch(rng):
     with torch.no_grad():
         got = net(_t(xp).permute(0, 3, 1, 2)).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+# --------------------------------------------------------------------- #
+# BaseNet1 / zoo BaseNet2 transplants (conpared_models.py:192-247,
+# :391-458).  No BN; the flax models flatten conv maps (H, W, C) — the
+# transplants permute before .view to compare the same function.
+# --------------------------------------------------------------------- #
+
+
+class _TorchDualStem(torch.nn.Module):
+    def __init__(self, n_pc):
+        super().__init__()
+        self.conv0 = torch.nn.Conv2d(n_pc, 64, 1)
+        self.conv1 = torch.nn.Conv2d(64, 64, 3, padding=1)
+        self.conv2 = torch.nn.Conv2d(64, 64, 3, padding=1)
+        self.feat_spe = torch.nn.Linear(103, 1024)
+
+    def load_stem(self, p):
+        for name in ["conv0", "conv1", "conv2"]:
+            _load_conv2d(getattr(self, name), p[name])
+        _load_lin(self.feat_spe, p["feat_spe"])
+
+    def stem(self, x, y):
+        x = self.conv0(x)
+        x = F.avg_pool2d(F.relu(self.conv1(x) + x), 2)
+        x = F.avg_pool2d(F.relu(self.conv2(x) + x), 2)
+        x = x.permute(0, 2, 3, 1).reshape(x.shape[0], -1)
+        return x, F.relu(self.feat_spe(y))
+
+
+class TorchBaseNet1(_TorchDualStem):
+    def __init__(self):
+        super().__init__(5)
+        self.feat_ss = torch.nn.Linear(2048, 256)
+        self.classifier = torch.nn.Linear(256, 9)
+
+    def load_flax(self, p):
+        self.load_stem(p)
+        _load_lin(self.feat_ss, p["feat_ss"])
+        _load_lin(self.classifier, p["classifier"])
+
+    def forward(self, x, y):
+        x, y = self.stem(x, y)
+        x_re = self.feat_ss(torch.cat([x, y], 1))
+        return self.classifier(F.relu(x_re)), x_re
+
+
+class TorchBaseNet2Zoo(_TorchDualStem):
+    def __init__(self):
+        super().__init__(60)
+        self.feat_ss = torch.nn.Linear(1024, 256)
+        self.feat_ss2 = torch.nn.Linear(256, 64)
+        self.classifier = torch.nn.Linear(2624, 9)
+
+    def load_flax(self, p):
+        self.load_stem(p)
+        for name in ["feat_ss", "feat_ss2", "classifier"]:
+            _load_lin(getattr(self, name), p[name])
+
+    def forward(self, x, y):
+        x, y = self.stem(x, y)
+        z = torch.cat([x, y], 1)
+        f = self.feat_ss2(F.relu(self.feat_ss(y)))
+        f = f / f.pow(2).sum(1, keepdim=True).sqrt()
+        return self.classifier(z), f
+
+
+@pytest.mark.parametrize("name,w,n_pc,torch_cls", [
+    ("basenet1", 16, 5, TorchBaseNet1),
+    ("basenet2_zoo", 20, 60, TorchBaseNet2Zoo),
+])
+def test_dual_branch_zoo_matches_torch(name, w, n_pc, torch_cls, rng):
+    spec = get_dataset(1)
+    model, _ = build_model(name, spec, n_pc)
+    xp = rng.normal(size=(3, w, w, n_pc)).astype(np.float32)
+    x = rng.normal(size=(3, 103)).astype(np.float32)
+    variables = model.init(jax.random.key(11), jnp.asarray(xp),
+                           jnp.asarray(x), train=False)
+    want_l, want_f = model.apply(variables, jnp.asarray(xp),
+                                 jnp.asarray(x), train=False)
+
+    net = torch_cls()
+    net.load_flax(jax.device_get(variables["params"]))
+    net.eval()
+    with torch.no_grad():
+        got_l, got_f = net(_t(xp).permute(0, 3, 1, 2), _t(x))
+    np.testing.assert_allclose(got_l.numpy(), np.asarray(want_l),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got_f.numpy(), np.asarray(want_f),
+                               rtol=1e-4, atol=1e-5)
