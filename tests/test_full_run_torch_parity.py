@@ -106,3 +106,137 @@ def test_cmlpl_whole_run_matches_torch_oracle(tiny_scene, tiny_splits):
             np.asarray(params["classifier"]["bias"]),
             net.classifier.bias.detach().numpy(), rtol=1e-2, atol=1e-3,
             err_msg=f"{name} classifier bias")
+
+
+def _host_batch(scene, idx_l, y_l, idx_u):
+    xp_l = np.asarray(gather_patches(scene.padded_pca, jnp.asarray(idx_l),
+                                     cols=scene.cols, w=scene.patch_size))
+    xp_u = np.asarray(gather_patches(scene.padded_pca, jnp.asarray(idx_u),
+                                     cols=scene.cols, w=scene.patch_size))
+    return (xp_l.transpose(0, 3, 1, 2), np.asarray(scene.spectra)[idx_l],
+            y_l.astype(np.int64), xp_u.transpose(0, 3, 1, 2),
+            np.asarray(scene.spectra)[idx_u])
+
+
+def test_cps_whole_run_matches_torch_oracle(tiny_scene, tiny_splits):
+    """CPS: one fused 2-epoch dispatch vs trian_CPS.py:181-250 replayed."""
+    import torch.nn.functional as F
+
+    from cmlpl_tpu.train import CPSTrainer
+
+    scene = tiny_scene
+    cfg = CMLPLConfig(num_classes=9, num_features=103, n_pc=scene.n_pc,
+                      patch_size=scene.patch_size, labeled_batch=8,
+                      unlabeled_batch=8, num_unlabel=32, num_epochs=2,
+                      noise=0.0, dropout=0.0)
+    trainer = CPSTrainer(cfg, donate=False)
+    state = trainer.init_state(jax.random.key(0))
+
+    nets, opts = [], []
+    for params in [state.net_b.params, state.net_e.params]:
+        net = TorchBaseNet2(scene.n_pc, 103, 9)
+        net.load_flax(jax.device_get(params))
+        nets.append(net)
+        opts.append(torch.optim.Adam(net.parameters(), lr=cfg.lr))
+
+    sam_a = SemiSupervisedSampler(tiny_splits, scene.labels, 8, 8,
+                                  num_unlabel=32, seed=1088)
+    sam_b = SemiSupervisedSampler(tiny_splits, scene.labels, 8, 8,
+                                  num_unlabel=32, seed=1088)
+    li, ly, ui = stack_schedule(sam_a, cfg.num_epochs)
+
+    want = []
+    for le, ye, ue in zip(li, ly, ui):
+        for idx_l, y_l, idx_u in zip(le, ye, ue):
+            xp_l, x_l, y, xp_u, x_u = [
+                torch.tensor(a) for a in _host_batch(scene, idx_l, y_l,
+                                                     idx_u)]
+            for o in opts:
+                o.zero_grad()
+            logits_b, _ = nets[0](torch.cat([xp_l, xp_u]),
+                                  torch.cat([x_l, x_u]))
+            logits_e, _ = nets[1](torch.cat([xp_l, xp_u]),
+                                  torch.cat([x_l, x_u]))
+            cls_b = F.cross_entropy(logits_b[:8], y)
+            cls_e = F.cross_entropy(logits_e[:8], y)
+            cross_b = F.cross_entropy(logits_b[8:],
+                                      logits_e[8:].argmax(1).detach())
+            cross_e = F.cross_entropy(logits_e[8:],
+                                      logits_b[8:].argmax(1).detach())
+            total_b = cls_b + 0.1 * cross_b
+            total_b.backward(retain_graph=True)
+            opts[0].step()
+            (cls_e + 0.1 * cross_e).backward()
+            opts[1].step()
+            want.append({"cls_loss": cls_b.item(),
+                         "con_loss": cross_b.item(),
+                         "total_loss": total_b.item()})
+
+    state, got = trainer.train_run(state, scene, sam_b)
+    got = {k: np.asarray(v).reshape(len(want)) for k, v in got.items()}
+    for i, m in enumerate(want):
+        for key in m:
+            np.testing.assert_allclose(got[key][i], m[key], rtol=5e-3,
+                                       atol=5e-4,
+                                       err_msg=f"step {i} {key}")
+    params = jax.device_get(state.net_b.params)
+    np.testing.assert_allclose(
+        np.asarray(params["feat_spe"]["kernel"]).T,
+        nets[0].feat_spe.weight.detach().numpy(), rtol=1e-2, atol=1e-3)
+
+
+def test_cct_whole_run_matches_torch_oracle(tiny_scene, tiny_splits):
+    """CCT: one fused 2-epoch dispatch vs trian_CCT.py:170-223 replayed
+    (incl. the two overlapping Adam optimisers, both stepped per step)."""
+    from cmlpl_tpu.train import CCTTrainer
+    from test_cct_torch_parity import (TorchCCTNet,
+                                       torch_reference_step as cct_step)
+
+    scene = tiny_scene
+    cfg = CMLPLConfig(num_classes=9, num_features=103, n_pc=scene.n_pc,
+                      patch_size=scene.patch_size, labeled_batch=8,
+                      unlabeled_batch=8, num_unlabel=32, num_epochs=2,
+                      noise=0.0, dropout=0.0)
+    trainer = CCTTrainer(cfg, donate=False)
+    state = trainer.init_state(jax.random.key(0))
+
+    params0 = jax.device_get(state.params)
+    enc = TorchCCTNet(scene.n_pc, 103)
+    enc.load_flax(params0["encoder"])
+    heads = []
+    for key in ["dec_base", "dec1", "dec2"]:
+        h = torch.nn.Linear(2624, 9)
+        h.weight = torch.nn.Parameter(torch.tensor(
+            np.asarray(params0[key]["fc"]["kernel"]).T))
+        h.bias = torch.nn.Parameter(torch.tensor(
+            np.asarray(params0[key]["fc"]["bias"])))
+        heads.append(h)
+    opt_base = torch.optim.Adam(
+        list(enc.parameters()) + list(heads[0].parameters()), lr=cfg.lr)
+    opt_aug = torch.optim.Adam(
+        list(enc.parameters()) + list(heads[1].parameters())
+        + list(heads[2].parameters()), lr=cfg.lr)
+
+    sam_a = SemiSupervisedSampler(tiny_splits, scene.labels, 8, 8,
+                                  num_unlabel=32, seed=1088)
+    sam_b = SemiSupervisedSampler(tiny_splits, scene.labels, 8, 8,
+                                  num_unlabel=32, seed=1088)
+    li, ly, ui = stack_schedule(sam_a, cfg.num_epochs)
+
+    want = []
+    for le, ye, ue in zip(li, ly, ui):
+        for idx_l, y_l, idx_u in zip(le, ye, ue):
+            want.append(cct_step(enc, heads, opt_base, opt_aug,
+                                 _host_batch(scene, idx_l, y_l, idx_u)))
+
+    state, got = trainer.train_run(state, scene, sam_b)
+    got = {k: np.asarray(v).reshape(len(want)) for k, v in got.items()}
+    for i, m in enumerate(want):
+        for key in ["cls_loss", "total_loss"]:
+            np.testing.assert_allclose(got[key][i], m[key], rtol=5e-3,
+                                       atol=5e-4,
+                                       err_msg=f"step {i} {key}")
+    params = jax.device_get(state.params)
+    np.testing.assert_allclose(
+        np.asarray(params["encoder"]["feat_spe"]["kernel"]).T,
+        enc.feat_spe.weight.detach().numpy(), rtol=1e-2, atol=1e-3)
