@@ -23,6 +23,12 @@ def base_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_label", type=int, default=5)
     p.add_argument("--save_path_prefix", type=str, default="./")
     p.add_argument("--data_root", type=str, default="./dataset")
+    p.add_argument("--splits_dir", type=str, default=None,
+                   help="directory holding the reference's materialised "
+                        "train_array.npy / test_array.npy / "
+                        "unlabel_array.npy (e.g. a reference "
+                        "dataset/<name>/ dir); default: regenerate the "
+                        "byte-identical splits from --num_label")
     # train (reference train.py:361-368)
     p.add_argument("--labeled_batch_size", type=int, default=128)
     p.add_argument("--unlabeled_batch_size", type=int, default=128)
@@ -140,7 +146,12 @@ def build_data(args):
     spec = get_dataset(args.dataID)
     scene = prepare_scene(spec, root=args.data_root, patch_size=args.w,
                           n_pc=args.n_PC)
-    splits = generate_splits(scene.labels, num_label=args.num_label)
+    if getattr(args, "splits_dir", None):
+        from cmlpl_tpu.data import load_splits
+
+        splits = load_splits(args.splits_dir)
+    else:
+        splits = generate_splits(scene.labels, num_label=args.num_label)
     sampler = SemiSupervisedSampler(
         splits, scene.labels, args.labeled_batch_size,
         args.unlabeled_batch_size, num_unlabel=args.num_unlabel,

@@ -10,5 +10,6 @@ from cmlpl_tpu.data.patches import (  # noqa: F401
     patch_pad_width,
     gather_patches,
 )
-from cmlpl_tpu.data.splits import generate_splits, Splits  # noqa: F401
+from cmlpl_tpu.data.splits import (generate_splits, load_splits,  # noqa: F401
+                                   Splits)
 from cmlpl_tpu.data.pipeline import SemiSupervisedSampler  # noqa: F401

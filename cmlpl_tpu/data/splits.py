@@ -54,3 +54,20 @@ def generate_splits(labels: np.ndarray, num_label: int = 5,
     # order deterministic for identical contents.
     unlabeled = np.array(list(set(pool) - set(train)))
     return Splits(train=train, test=test, unlabeled=unlabeled)
+
+
+def load_splits(split_dir: str) -> Splits:
+    """Load the reference's materialised split arrays
+    (``train_array.npy`` / ``test_array.npy`` / ``unlabel_array.npy``,
+    the files ``sample_generation.py:68-73`` writes).  Lets a user bring
+    an existing reference ``dataset/<name>/`` directory — including
+    hand-edited or non-default splits — instead of regenerating
+    (regeneration is byte-identical for the default seeds)."""
+    import os
+
+    def arr(name):
+        return np.load(os.path.join(split_dir, name)).reshape(-1)
+
+    return Splits(train=arr("train_array.npy"),
+                  test=arr("test_array.npy"),
+                  unlabeled=arr("unlabel_array.npy"))

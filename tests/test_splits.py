@@ -59,3 +59,36 @@ def test_splits_deterministic():
     b = generate_splits(Y, num_label=5)
     np.testing.assert_array_equal(a.train, b.train)
     np.testing.assert_array_equal(a.unlabeled, b.unlabeled)
+
+
+def test_load_splits_roundtrip(tiny_scene, tmp_path):
+    """A reference dataset/<name>/ dir (as written by the
+    sample_generation CLI) loads back byte-identically, and the training
+    CLIs' --splits_dir path uses it."""
+    import argparse
+    import os
+
+    import numpy as np
+
+    from cmlpl_tpu.data import generate_splits, load_splits
+
+    want = generate_splits(tiny_scene.labels, num_label=5)
+    np.save(os.path.join(tmp_path, "train_array.npy"), want.train)
+    np.save(os.path.join(tmp_path, "test_array.npy"), want.test)
+    np.save(os.path.join(tmp_path, "unlabel_array.npy"), want.unlabeled)
+
+    got = load_splits(str(tmp_path))
+    np.testing.assert_array_equal(got.train, want.train)
+    np.testing.assert_array_equal(got.test, want.test)
+    np.testing.assert_array_equal(got.unlabeled, want.unlabeled)
+
+    # the CLI plumbing honors --splits_dir
+    from cmlpl_tpu.cli._common import build_data
+
+    args = argparse.Namespace(
+        dataID="0", data_root=".", w=tiny_scene.patch_size,
+        n_PC=tiny_scene.n_pc, num_label=3, splits_dir=str(tmp_path),
+        labeled_batch_size=8, unlabeled_batch_size=8, num_unlabel=32,
+        seed=1088)
+    _, _, splits, _ = build_data(args)
+    np.testing.assert_array_equal(splits.train, want.train)
