@@ -164,3 +164,58 @@ def test_cps_cct_step_with_pallas_bf16_gather(tiny_scene, tiny_splits):
         assert np.isfinite(losses["pallas_bf16"]), cls.__name__
         np.testing.assert_allclose(losses["pallas_bf16"], losses["xla"],
                                    rtol=2e-2, err_msg=cls.__name__)
+
+
+def test_shifted_gather_fuzz_geometries(rng):
+    """Randomised scene/patch geometries vs the quantised oracle."""
+    from cmlpl_tpu.ops.patch_gather import (build_shifted_cube_bf16,
+                                            gather_patches_pallas_shifted)
+
+    for _ in range(6):
+        rows = int(rng.integers(8, 40))
+        cols = int(rng.integers(8, 40))
+        ch = int(rng.integers(1, 9))
+        w = int(rng.integers(3, 13))
+        b = int(rng.integers(1, 40))
+        X = rng.normal(size=(rows, cols, ch)).astype(np.float32)
+        padded = jnp.asarray(pad_symmetric(X, w // 2))
+        if w % 2 == 1:  # odd w: reference pads hw rows/cols each side,
+            padded = jnp.pad(padded, ((0, 1), (0, 1), (0, 0)))
+        idx = jnp.asarray(rng.integers(0, rows * cols, size=b)
+                          .astype(np.int32))
+        want = np.asarray(gather_patches(
+            padded.astype(jnp.bfloat16).astype(jnp.float32), idx,
+            cols=cols, w=w))
+        got = np.asarray(gather_patches_pallas_shifted(
+            build_shifted_cube_bf16(padded), idx, cols=cols, w=w,
+            interpret=True)[..., :ch], dtype=np.float32)
+        np.testing.assert_allclose(got, want,
+                                   err_msg=f"{rows}x{cols}x{ch} w={w} b={b}")
+
+
+def test_scene_predictor_bf16_gather_on_mesh(tiny_scene):
+    """Multi-chip (shard_map) inference with the bf16 shift-cube gather:
+    the 4-D cube must pass through the replicated in_spec and each chip's
+    local pallas_call must agree with the single-device path."""
+    import jax
+    from jax.sharding import Mesh
+
+    from cmlpl_tpu.eval import ScenePredictor
+    from cmlpl_tpu.models import BaseNet2
+
+    model = BaseNet2(num_features=103, num_classes=9, n_pc=tiny_scene.n_pc)
+    xp0 = jnp.zeros((1, 20, 20, tiny_scene.n_pc))
+    x0 = jnp.zeros((1, 103))
+    params = model.init(jax.random.key(2), xp0, x0, train=False)["params"]
+
+    def apply(p, xp, x):
+        return model.apply({"params": p}, xp, x, train=False)[0]
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    single = ScenePredictor(apply, patch_size=20, cols=tiny_scene.cols,
+                            tile=128, gather="pallas_bf16")(params,
+                                                            tiny_scene)
+    sharded = ScenePredictor(apply, patch_size=20, cols=tiny_scene.cols,
+                             tile=128, mesh=mesh,
+                             gather="pallas_bf16")(params, tiny_scene)
+    np.testing.assert_array_equal(single, sharded)
