@@ -23,6 +23,9 @@ def base_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_label", type=int, default=5)
     p.add_argument("--save_path_prefix", type=str, default="./")
     p.add_argument("--data_root", type=str, default="./dataset")
+    p.add_argument("--metrics_csv", type=str, default=None,
+                   help="write the per-step training metrics history "
+                        "(losses, accuracy, mask rate) to this CSV")
     p.add_argument("--splits_dir", type=str, default=None,
                    help="directory holding the reference's materialised "
                         "train_array.npy / test_array.npy / "
@@ -214,3 +217,17 @@ def report_accuracy(name: str, acc) -> None:
           f"Kappa={acc.kappa * 100:.2f}")
     print("producerA:", np.array2string(acc.producer * 100, precision=2))
     print(f"AA={acc.aa * 100:.2f}")
+
+
+def save_history(args, history) -> None:
+    """--metrics_csv: persist fit()'s per-step metric dicts (the
+    reference only prints running means, train.py:274-289)."""
+    if not getattr(args, "metrics_csv", None) or not history:
+        return
+    import numpy as np
+    import pandas as pd
+
+    rows = [{k: float(np.asarray(v)) for k, v in m.items()}
+            for m in history]
+    pd.DataFrame(rows).to_csv(args.metrics_csv, index_label="step")
+    print(f"wrote {args.metrics_csv} ({len(rows)} steps)")

@@ -64,10 +64,14 @@ def main(argv=None):
                     start_epoch=start_epoch,
                     on_epoch_end=make_epoch_hook(args))
                 start_epoch = cfg.num_epochs  # whole run traced
-        state, _ = trainer.fit(state, scene, sampler,
-                               log_every=args.print_per_batches,
-                               start_epoch=start_epoch,
-                               on_epoch_end=make_epoch_hook(args))
+        state, history = trainer.fit(state, scene, sampler,
+                                     log_every=args.print_per_batches,
+                                     start_epoch=start_epoch,
+                                     on_epoch_end=make_epoch_hook(args))
+        if index_iter == 0:
+            from cmlpl_tpu.cli._common import save_history
+
+            save_history(args, history)
 
         t0 = time.time()
         pred_b = predictor(state.net_b.params, scene)

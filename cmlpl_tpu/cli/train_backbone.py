@@ -16,6 +16,7 @@ from cmlpl_tpu.cli._common import (
     base_parser,
     setup_runtime,
     make_epoch_hook,
+    save_history,
     maybe_resume,
     report_accuracy,
     save_final_checkpoint,
@@ -65,11 +66,12 @@ def main(argv=None):
     state, start_epoch = maybe_resume(
         args, state,
         trainer.steps_per_epoch(len(splits.train), bs, args.epoch_samples))
-    state, _ = trainer.fit(
+    state, history = trainer.fit(
         state, scene, splits.train, scene.labels, batch_size=bs,
         num_epochs=args.num_epochs, epoch_samples=args.epoch_samples,
         log_every=args.print_per_batches, start_epoch=start_epoch,
         on_epoch_end=make_epoch_hook(args))
+    save_history(args, history)
 
     predictor = ScenePredictor(trainer.logits_fn(), patch_size=w,
                                cols=scene.cols, tile=args.val_batch_size,

@@ -11,6 +11,7 @@ from cmlpl_tpu.cli._common import (
     build_config,
     build_data,
     make_epoch_hook,
+    save_history,
     maybe_resume,
     report_accuracy,
     save_final_checkpoint,
@@ -35,10 +36,11 @@ def main(argv=None):
     state = trainer.init_state(rng)
     state, start_epoch = maybe_resume(args, state,
                                       sampler.batches_per_epoch)
-    state, _ = trainer.fit(state, scene, sampler,
-                           log_every=args.print_per_batches,
-                           start_epoch=start_epoch,
-                           on_epoch_end=make_epoch_hook(args))
+    state, history = trainer.fit(state, scene, sampler,
+                                 log_every=args.print_per_batches,
+                                 start_epoch=start_epoch,
+                                 on_epoch_end=make_epoch_hook(args))
+    save_history(args, history)
 
     model = trainer.model
 

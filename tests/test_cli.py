@@ -36,9 +36,16 @@ def test_train_then_predict_cli(workdir):
     from cmlpl_tpu.cli.predict import main as predict_main
     from cmlpl_tpu.cli.train import main as train_main
 
-    acc_b, acc_e = train_main(ARGS + ["--checkpoint_dir", "./ckpt"])
+    acc_b, acc_e = train_main(ARGS + ["--checkpoint_dir", "./ckpt",
+                                      "--metrics_csv", "./metrics.csv"])
     assert 0.0 <= acc_b.oa <= 1.0
     assert os.path.exists("Experiment_0/label_5/cmlpl_results.csv")
+    # --metrics_csv: per-step training history
+    import pandas as pd
+
+    hist = pd.read_csv("./metrics.csv")
+    assert {"total_loss", "cls_loss", "con_loss", "acc"} <= set(hist.columns)
+    assert len(hist) == 2 * 4  # 2 epochs x (64 // 16) steps
     svgs = [f for f in os.listdir("Experiment_0/label_5")
             if f.endswith(".svg")]
     assert svgs
