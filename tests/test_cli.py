@@ -134,3 +134,36 @@ def test_cmlpl_cli_kill_and_resume(workdir, capsys):
 
     acc_b, _ = _kill_and_resume(main, ARGS, capsys)
     assert 0.0 <= acc_b.oa <= 1.0
+
+
+def test_serve_cli_persistent_loop(workdir):
+    """serve: one warm process classifies multiple scenes from JSON-line
+    requests (including an error line that must not kill the loop)."""
+    import io
+    import json
+
+    from cmlpl_tpu.cli.serve import main as serve_main
+    from cmlpl_tpu.cli.train import main as train_main
+    from cmlpl_tpu.data import synthetic_scene
+
+    train_main(ARGS + ["--checkpoint_dir", "./ckpt"])
+
+    cube, _ = synthetic_scene(0)
+    np.save("scene.npy", cube)
+    requests = "\n".join([
+        json.dumps({"cube": "scene.npy", "out": "map.npy", "id": "r1"}),
+        json.dumps({"cube": "missing.npy", "id": "bad"}),
+        json.dumps({"id": "r2", "out": "map2.svg"}),  # registered scene
+    ])
+    out = io.StringIO()
+    serve_main(ARGS + ["--checkpoint_dir", "./ckpt", "--no_warmup"],
+               stdin=io.StringIO(requests), stdout=out)
+
+    lines = [json.loads(ln) for ln in out.getvalue().splitlines()]
+    assert lines[0]["ready"] is True
+    r1, bad, r2 = lines[1:]
+    assert r1["id"] == "r1" and r1["pixels"] == 64 * 48
+    assert os.path.exists("map.npy")
+    assert np.load("map.npy").shape == (64 * 48,)
+    assert bad["id"] == "bad" and "error" in bad
+    assert r2["id"] == "r2" and os.path.exists("map2.svg")
