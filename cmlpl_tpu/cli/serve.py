@@ -98,6 +98,7 @@ def main(argv=None, stdin=None, stdout=None):
         line = line.strip()
         if not line:
             continue
+        req = None
         try:
             req = json.loads(line)
             t0 = time.time()

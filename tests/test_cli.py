@@ -153,6 +153,7 @@ def test_serve_cli_persistent_loop(workdir):
     requests = "\n".join([
         json.dumps({"cube": "scene.npy", "out": "map.npy", "id": "r1"}),
         json.dumps({"cube": "missing.npy", "id": "bad"}),
+        "this is not json",
         json.dumps({"id": "r2", "out": "map2.svg"}),  # registered scene
     ])
     out = io.StringIO()
@@ -161,9 +162,10 @@ def test_serve_cli_persistent_loop(workdir):
 
     lines = [json.loads(ln) for ln in out.getvalue().splitlines()]
     assert lines[0]["ready"] is True
-    r1, bad, r2 = lines[1:]
+    r1, bad, malformed, r2 = lines[1:]
     assert r1["id"] == "r1" and r1["pixels"] == 64 * 48
     assert os.path.exists("map.npy")
     assert np.load("map.npy").shape == (64 * 48,)
     assert bad["id"] == "bad" and "error" in bad
+    assert malformed["id"] is None and "JSONDecodeError" in malformed["error"]
     assert r2["id"] == "r2" and os.path.exists("map2.svg")
