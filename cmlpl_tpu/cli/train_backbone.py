@@ -60,7 +60,7 @@ def main(argv=None):
     trainer = SupervisedTrainer(
         model, entry, lr=args.lr, patch_size=w, n_pc=n_pc,
         num_features=spec.num_bands, mesh=mesh,
-        augment=bool(args.augment))
+        augment=bool(args.augment), gather_impl=args.gather_impl)
     state = trainer.init_state(rng)
     bs = min(args.labeled_batch_size, len(splits.train))
     state, start_epoch = maybe_resume(

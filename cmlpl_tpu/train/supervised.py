@@ -47,6 +47,9 @@ class SupervisedTrainer:
         self.mesh = mesh
         self.augment = augment
         self.gather_impl = gather_impl
+        from cmlpl_tpu.ops.patch_gather import check_gather_mesh
+
+        check_gather_mesh(gather_impl, mesh)
         self._donate = (0,) if donate else ()
         self.optimizer = optax.adam(lr)
         self._step_fn, self._run_fn = self._build_step()
