@@ -83,7 +83,9 @@ class ScenePredictor:
                     from cmlpl_tpu.ops.patch_gather import (
                         gather_patches_pallas)
 
-                    xp = gather_patches_pallas(padded, idx, cols=cols, w=w)
+                    interp = jax.default_backend() not in ("tpu", "axon")
+                    xp = gather_patches_pallas(padded, idx, cols=cols, w=w,
+                                               interpret=interp)
                     return xp[..., :n_pc]
                 r = idx // cols
                 c = idx % cols
