@@ -56,6 +56,34 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     return jax.process_count()
 
 
+def is_multiprocess(mesh: Optional[Mesh]) -> bool:
+    """True when the mesh spans devices of more than one process (a pod):
+    host arrays must then be formed as global arrays
+    (:func:`host_to_global`) — ``jax.device_put`` only accepts
+    addressable shardings."""
+    if mesh is None:
+        return False
+    return any(d.process_index != jax.process_index()
+               for d in mesh.devices.flat)
+
+
+def host_to_global(sharding, arr) -> jax.Array:
+    """Form a (multi-process) global array from an identical host copy on
+    every process.  Every process must call this with the SAME values
+    (our batches/state are derived from shared seeds, so they are).
+    Handles typed PRNG key arrays."""
+    if hasattr(arr, "dtype") and jax.dtypes.issubdtype(
+            arr.dtype, jax.dtypes.prng_key):
+        data = np.asarray(jax.random.key_data(arr))
+        impl = jax.random.key_impl(arr)
+        g = jax.make_array_from_callback(data.shape, sharding,
+                                         lambda idx: data[idx])
+        return jax.random.wrap_key_data(g, impl=impl)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
 def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
                 axis_name: str = DATA_AXIS) -> Mesh:
     """A 1-D mesh over all (or the given) devices."""

@@ -78,6 +78,9 @@ class CMLPLTrainer(EpochDriver):
         from cmlpl_tpu.ops.patch_gather import check_gather_mesh
 
         check_gather_mesh(config.gather_impl, mesh)
+        from cmlpl_tpu.core.mesh import is_multiprocess
+
+        self._multiproc = is_multiprocess(mesh)
         self._donate = (0,) if donate else ()
         self.model = BaseNet2(
             num_features=config.num_features, dropout=config.dropout,
@@ -159,9 +162,27 @@ class CMLPLTrainer(EpochDriver):
 
     def init_state(self, rng: jax.Array) -> CMLPLTrainState:
         state = self._make_state(rng)
-        if self.mesh is not None:
-            state = jax.device_put(state, self._state_sh)
-        return state
+        if self.mesh is None:
+            return state
+        if self._multiproc:
+            # pod path: device_put rejects non-addressable shardings;
+            # form global arrays from the (seed-identical) host state
+            from cmlpl_tpu.core.mesh import host_to_global
+
+            return jax.tree_util.tree_map(
+                lambda a, sh: host_to_global(sh, a), state,
+                self._state_sh)
+        return jax.device_put(state, self._state_sh)
+
+    def _put(self, a, pspec):
+        """Host->device for a step/epoch/run input: plain asarray on one
+        process; a global array (every process holds the same host copy)
+        on a multi-process mesh."""
+        if not self._multiproc:
+            return jnp.asarray(a)
+        from cmlpl_tpu.core.mesh import host_to_global
+
+        return host_to_global(NamedSharding(self.mesh, pspec), a)
 
     # ------------------------------------------------------------------ #
     def _build_step(self):
@@ -468,21 +489,30 @@ class CMLPLTrainer(EpochDriver):
         (train.py:212)."""
         cfg = self.config
         warm = bool(epoch > 0 or batch_index > cfg.queue_batch)
+        b = P("data")
         return self._step_fn(
-            state, scene.padded_pca, scene.spectra,
-            jnp.asarray(lab_idx), jnp.asarray(lab_y), jnp.asarray(unl_idx),
-            jnp.float32(self._adaptive_thr(epoch)), jnp.asarray(warm),
+            state, self._put(scene.padded_pca, P()),
+            self._put(scene.spectra, P()),
+            self._put(np.asarray(lab_idx), b),
+            self._put(np.asarray(lab_y), b),
+            self._put(np.asarray(unl_idx), b),
+            self._put(np.float32(self._adaptive_thr(epoch)), P()),
+            self._put(np.asarray(warm), P()),
             scene.cols)
 
     def train_epoch(self, state, scene: PreparedScene, lab_idx, lab_y,
                     unl_idx, epoch: int):
         """One epoch in a single dispatch.  Batch arrays are stacked
         (num_batches, batch); returns (state, metrics-of-arrays)."""
+        e = P(None, "data")
         return self._epoch_fn(
-            state, scene.padded_pca, scene.spectra,
-            jnp.asarray(lab_idx), jnp.asarray(lab_y), jnp.asarray(unl_idx),
-            jnp.float32(self._adaptive_thr(epoch)),
-            jnp.asarray(epoch > 0), scene.cols)
+            state, self._put(scene.padded_pca, P()),
+            self._put(scene.spectra, P()),
+            self._put(np.asarray(lab_idx), e),
+            self._put(np.asarray(lab_y), e),
+            self._put(np.asarray(unl_idx), e),
+            self._put(np.float32(self._adaptive_thr(epoch)), P()),
+            self._put(np.asarray(epoch > 0), P()), scene.cols)
 
     def train_run(self, state, scene: PreparedScene, sampler):
         """The whole training schedule (num_epochs x batches) in ONE
@@ -494,10 +524,12 @@ class CMLPLTrainer(EpochDriver):
         li, ly, ui = stack_schedule(sampler, cfg.num_epochs)
         adap = np.asarray([self._adaptive_thr(e)
                            for e in range(cfg.num_epochs)], np.float32)
+        r = P(None, None, "data")
         return self._run_fn(
-            state, scene.padded_pca, scene.spectra,
-            jnp.asarray(li), jnp.asarray(ly), jnp.asarray(ui),
-            jnp.asarray(adap), scene.cols)
+            state, self._put(scene.padded_pca, P()),
+            self._put(scene.spectra, P()),
+            self._put(li, r), self._put(ly, r), self._put(ui, r),
+            self._put(adap, P()), scene.cols)
 
     # -- EpochDriver adapters: thread the epoch through for the adaptive
     # threshold + queue warmup (train.py:147-148,220-228) ---------------- #

@@ -60,6 +60,9 @@ class CPSTrainer(EpochDriver):
         from cmlpl_tpu.ops.patch_gather import check_gather_mesh
 
         check_gather_mesh(config.gather_impl, mesh)
+        from cmlpl_tpu.core.mesh import is_multiprocess
+
+        self._multiproc = is_multiprocess(mesh)
         self._donate = (0,) if donate else ()
         self.model = BaseNet2(
             num_features=config.num_features, dropout=config.dropout,
@@ -82,8 +85,21 @@ class CPSTrainer(EpochDriver):
             net_e=NetState(params_e, self.optimizer.init(params_e)),
             rng=k_run, step=jnp.zeros((), jnp.int32))
         if self.mesh is not None:
-            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+            sh = NamedSharding(self.mesh, P())
+            if self._multiproc:
+                from cmlpl_tpu.core.mesh import host_to_global
+
+                return jax.tree_util.tree_map(
+                    lambda a: host_to_global(sh, a), state)
+            state = jax.device_put(state, sh)
         return state
+
+    def _put(self, a, pspec):
+        if not self._multiproc:
+            return jnp.asarray(a)
+        from cmlpl_tpu.core.mesh import host_to_global
+
+        return host_to_global(NamedSharding(self.mesh, pspec), a)
 
     def _build_step(self):
         cfg = self.config
@@ -211,26 +227,30 @@ class CPSTrainer(EpochDriver):
 
     def train_step(self, state, scene: PreparedScene, lab_idx, lab_y,
                    unl_idx):
+        b = P("data")
         return self._step_fn(
-            state, scene.padded_pca, scene.spectra,
-            jnp.asarray(lab_idx), jnp.asarray(lab_y), jnp.asarray(unl_idx),
-            scene.cols)
+            state, self._put(scene.padded_pca, P()),
+            self._put(scene.spectra, P()), self._put(lab_idx, b),
+            self._put(lab_y, b), self._put(unl_idx, b), scene.cols)
 
     def train_epoch(self, state, scene: PreparedScene, lab_idx, lab_y,
                     unl_idx):
         """One epoch in a single dispatch over stacked batch arrays."""
+        e = P(None, "data")
         return self._epoch_fn(
-            state, scene.padded_pca, scene.spectra,
-            jnp.asarray(lab_idx), jnp.asarray(lab_y), jnp.asarray(unl_idx),
-            scene.cols)
+            state, self._put(scene.padded_pca, P()),
+            self._put(scene.spectra, P()), self._put(lab_idx, e),
+            self._put(lab_y, e), self._put(unl_idx, e), scene.cols)
 
     def train_run(self, state, scene: PreparedScene, sampler):
         """The whole schedule ((E, N, B) pre-drawn batches) in one
         dispatch."""
         li, ly, ui = stack_schedule(sampler, self.config.num_epochs)
+        r = P(None, None, "data")
         return self._run_fn(
-            state, scene.padded_pca, scene.spectra,
-            jnp.asarray(li), jnp.asarray(ly), jnp.asarray(ui), scene.cols)
+            state, self._put(scene.padded_pca, P()),
+            self._put(scene.spectra, P()), self._put(li, r),
+            self._put(ly, r), self._put(ui, r), scene.cols)
 
     def _format_log(self, epoch, batch_index, num_batches, m):
         return (f"Epoch {epoch + 1}/{self.config.num_epochs}: "
