@@ -61,6 +61,16 @@ def main():
         _, m = t.train_step(s, scene, li, ly, ui, **kw)
         out[name] = {k: float(np.asarray(jax.device_get(v)))
                      for k, v in m.items()}
+
+    # the production path: the ENTIRE fused train_run over the pod mesh
+    t = CMLPLTrainer(cfg, mesh=mesh, donate=False)
+    s = t.init_state(jax.random.key(0))
+    sam2 = SemiSupervisedSampler(splits, scene.labels, bs, bs,
+                                 num_unlabel=64)
+    _, mm = t.train_run(s, scene, sam2)
+    out["cmlpl_run_last"] = {
+        k: float(np.asarray(jax.device_get(v)).ravel()[-1])
+        for k, v in mm.items()}
     print("METRICS " + json.dumps(out), flush=True)
 
 

@@ -57,6 +57,14 @@ def _single_process_expected():
         s = t.init_state(jax.random.key(0))
         _, m = t.train_step(s, scene, li, ly, ui, **kw)
         out[name] = {k: float(np.asarray(v)) for k, v in m.items()}
+
+    t = CMLPLTrainer(cfg, mesh=mesh, donate=False)
+    s = t.init_state(jax.random.key(0))
+    sam2 = SemiSupervisedSampler(splits, scene.labels, bs, bs,
+                                 num_unlabel=64)
+    _, mm = t.train_run(s, scene, sam2)
+    out["cmlpl_run_last"] = {k: float(np.asarray(v).ravel()[-1])
+                             for k, v in mm.items()}
     return out
 
 
