@@ -50,6 +50,9 @@ class SupervisedTrainer:
         from cmlpl_tpu.ops.patch_gather import check_gather_mesh
 
         check_gather_mesh(gather_impl, mesh)
+        from cmlpl_tpu.core.mesh import is_multiprocess
+
+        self._multiproc = is_multiprocess(mesh)
         self._donate = (0,) if donate else ()
         self.optimizer = optax.adam(lr)
         self._step_fn, self._run_fn = self._build_step()
@@ -87,8 +90,21 @@ class SupervisedTrainer:
             opt_state=self.optimizer.init(params),
             rng=k_run, step=jnp.zeros((), jnp.int32))
         if self.mesh is not None:
-            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+            sh = NamedSharding(self.mesh, P())
+            if self._multiproc:
+                from cmlpl_tpu.core.mesh import host_to_global
+
+                return jax.tree_util.tree_map(
+                    lambda a: host_to_global(sh, a), state)
+            state = jax.device_put(state, sh)
         return state
+
+    def _put(self, a, pspec):
+        if not self._multiproc:
+            return jnp.asarray(a)
+        from cmlpl_tpu.core.mesh import host_to_global
+
+        return host_to_global(NamedSharding(self.mesh, pspec), a)
 
     # -- the fused step --------------------------------------------------#
     def _build_step(self):
@@ -173,14 +189,18 @@ class SupervisedTrainer:
                         donate_argnums=self._donate))
 
     def train_step(self, state, scene: PreparedScene, lab_idx, lab_y):
-        return self._step_fn(state, scene.padded_pca, scene.spectra,
-                             jnp.asarray(lab_idx), jnp.asarray(lab_y),
+        b = P("data")
+        return self._step_fn(state, self._put(scene.padded_pca, P()),
+                             self._put(scene.spectra, P()),
+                             self._put(lab_idx, b), self._put(lab_y, b),
                              scene.cols)
 
     def train_run(self, state, scene: PreparedScene, lab_idx, lab_y):
         """All steps (stacked (T, B) index/label arrays) in one dispatch."""
-        return self._run_fn(state, scene.padded_pca, scene.spectra,
-                            jnp.asarray(lab_idx), jnp.asarray(lab_y),
+        r = P(None, "data")
+        return self._run_fn(state, self._put(scene.padded_pca, P()),
+                            self._put(scene.spectra, P()),
+                            self._put(lab_idx, r), self._put(lab_y, r),
                             scene.cols)
 
     def _schedule(self, train_idx, labels, batch_size, num_epochs,

@@ -58,6 +58,18 @@ def _single_process_expected():
         _, m = t.train_step(s, scene, li, ly, ui, **kw)
         out[name] = {k: float(np.asarray(v)) for k, v in m.items()}
 
+    from cmlpl_tpu.models.zoo import build_model
+    from cmlpl_tpu.registry import get_dataset
+    from cmlpl_tpu.train.supervised import SupervisedTrainer
+
+    model, zentry = build_model("basenet2", get_dataset(0), scene.n_pc)
+    ts = SupervisedTrainer(model, zentry, patch_size=scene.patch_size,
+                           n_pc=scene.n_pc, num_features=103, mesh=mesh,
+                           donate=False)
+    ss = ts.init_state(jax.random.key(0))
+    _, ms = ts.train_step(ss, scene, li, ly)
+    out["supervised"] = {k: float(np.asarray(v)) for k, v in ms.items()}
+
     t = CMLPLTrainer(cfg, mesh=mesh, donate=False)
     s = t.init_state(jax.random.key(0))
     sam2 = SemiSupervisedSampler(splits, scene.labels, bs, bs,
