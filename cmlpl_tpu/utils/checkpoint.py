@@ -11,6 +11,29 @@ import os
 from typing import Any
 
 import jax
+import numpy as np
+
+
+def _is_key(a) -> bool:
+    return (hasattr(a, "dtype")
+            and jax.dtypes.issubdtype(a.dtype, jax.dtypes.prng_key))
+
+
+def _keys_to_data(tree):
+    """Typed PRNG keys -> raw uint32 key data.  Orbax cannot serialize
+    host-local key arrays (visible under multi-process/pod runs); the raw
+    data is a plain array and portable across PRNG impls recorded by the
+    restore template."""
+    return jax.tree_util.tree_map(
+        lambda a: np.asarray(jax.random.key_data(a)) if _is_key(a) else a,
+        tree)
+
+
+def _data_to_keys(template, restored):
+    return jax.tree_util.tree_map(
+        lambda t, r: (jax.random.wrap_key_data(
+            r, impl=jax.random.key_impl(t)) if _is_key(t) else r),
+        template, restored)
 
 
 def save_checkpoint(directory: str, state: Any, step: int | None = None
@@ -23,7 +46,7 @@ def save_checkpoint(directory: str, state: Any, step: int | None = None
         step = int(jax.device_get(getattr(state, "step", 0)))
     path = os.path.join(directory, str(step))
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.save(path, _keys_to_data(jax.device_get(state)), force=True)
     ckptr.wait_until_finished()
     return path
 
@@ -41,4 +64,6 @@ def restore_checkpoint(directory: str, target: Any, step: int | None = None
             raise FileNotFoundError(f"no checkpoints under {directory}")
         step = max(steps)
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.join(directory, str(step)), target)
+    restored = ckptr.restore(os.path.join(directory, str(step)),
+                             _keys_to_data(target))
+    return _data_to_keys(target, restored)

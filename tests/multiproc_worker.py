@@ -83,6 +83,20 @@ def main():
     out["cmlpl_run_last"] = {
         k: float(np.asarray(jax.device_get(v)).ravel()[-1])
         for k, v in mm.items()}
+
+    # pod checkpoint/restore round-trip (orbax coordinates the write;
+    # PRNG keys stored as raw key data — utils/checkpoint.py)
+    from cmlpl_tpu.utils.checkpoint import (restore_checkpoint,
+                                            save_checkpoint)
+
+    s2, _ = t.train_step(s, scene, li, ly, ui, epoch=1, batch_index=0)
+    save_checkpoint("./ckpt", s2)
+    template = jax.device_get(t.init_state(jax.random.key(1)))
+    restored = restore_checkpoint("./ckpt", template)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(s2.net_b.params["feat_spe"]["kernel"])),
+        np.asarray(restored.net_b.params["feat_spe"]["kernel"]))
+    out["checkpoint_roundtrip"] = True
     print("METRICS " + json.dumps(out), flush=True)
 
 

@@ -105,6 +105,7 @@ def test_two_process_pod_step_matches_single_process(tmp_path):
         lines = [ln for ln in out.splitlines() if ln.startswith("METRICS ")]
         assert lines, f"proc {pid} printed no metrics:\n{out[-2000:]}"
         got = json.loads(lines[0][len("METRICS "):])
+        assert got.pop("checkpoint_roundtrip") is True
         for algo, metrics in want.items():
             for k, v in metrics.items():
                 np.testing.assert_allclose(
