@@ -224,6 +224,8 @@ def save_history(args, history) -> None:
     reference only prints running means, train.py:274-289)."""
     if not getattr(args, "metrics_csv", None) or not history:
         return
+    if not is_primary():
+        return  # pod runs: one writer
     import numpy as np
     import pandas as pd
 
@@ -231,3 +233,11 @@ def save_history(args, history) -> None:
             for m in history]
     pd.DataFrame(rows).to_csv(args.metrics_csv, index_label="step")
     print(f"wrote {args.metrics_csv} ({len(rows)} steps)")
+
+
+def is_primary() -> bool:
+    """True on the process that should write files/logs in a pod run
+    (single-process: always)."""
+    import jax
+
+    return jax.process_index() == 0

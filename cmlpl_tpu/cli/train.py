@@ -11,6 +11,7 @@ from cmlpl_tpu.cli._common import (
     setup_runtime,
     build_config,
     build_data,
+    is_primary,
     make_epoch_hook,
     maybe_resume,
     report_accuracy,
@@ -38,9 +39,17 @@ def main(argv=None):
     def apply_b(params, xp, x):
         return model.apply({"params": params}, xp, x, train=False)[0]
 
+    # pod runs: training uses the GLOBAL mesh; full-scene eval runs
+    # per-host over the local devices (shard_map needs addressable
+    # shardings; each host producing the full map keeps the CLI simple)
+    from cmlpl_tpu.core.mesh import create_mesh as _cm, is_multiprocess
+    import jax as _jax
+
+    multiproc = is_multiprocess(mesh)
+    eval_mesh = _cm(_jax.local_devices()) if multiproc else mesh
     predictor = ScenePredictor(apply_b, patch_size=cfg.patch_size,
                                cols=scene.cols, tile=cfg.val_batch,
-                               mesh=mesh, gather=args.eval_gather)
+                               mesh=eval_mesh, gather=args.eval_gather)
     y_test = scene.labels[splits.test] - 1
     out = save_path(args, spec)
 
@@ -73,10 +82,16 @@ def main(argv=None):
 
             save_history(args, history)
 
+        params_b, params_e = state.net_b.params, state.net_e.params
+        if multiproc:
+            # replicated global arrays -> host copies the local predictor
+            # can commit to its own devices
+            params_b = jax.device_get(params_b)
+            params_e = jax.device_get(params_e)
         t0 = time.time()
-        pred_b = predictor(state.net_b.params, scene)
+        pred_b = predictor(params_b, scene)
         print(f"full-scene inference time == {time.time() - t0:.3f}s")
-        pred_e = predictor(state.net_e.params, scene)
+        pred_e = predictor(params_e, scene)
 
         acc_b = cal_accuracy(pred_b[splits.test], y_test)
         acc_e = cal_accuracy(pred_e[splits.test], y_test)
@@ -85,11 +100,13 @@ def main(argv=None):
         runs_b.append(acc_b)
         runs_e.append(acc_e)
 
-        save_class_map(
-            os.path.join(out, f"CMLPL_OA_{int(acc_b.oa * 10000)}.svg"),
-            pred_b + 1, spec, rows=scene.rows, cols=scene.cols)
+        if is_primary():
+            save_class_map(
+                os.path.join(out, f"CMLPL_OA_{int(acc_b.oa * 10000)}.svg"),
+                pred_b + 1, spec, rows=scene.rows, cols=scene.cols)
 
-    save_report(os.path.join(out, "cmlpl_results.csv"), runs_b, runs_e)
+    if is_primary():
+        save_report(os.path.join(out, "cmlpl_results.csv"), runs_b, runs_e)
     if args.num_iters > 1:
         import numpy as np
 

@@ -111,3 +111,42 @@ def test_two_process_pod_step_matches_single_process(tmp_path):
                 np.testing.assert_allclose(
                     got[algo][k], v, rtol=2e-3, atol=1e-5,
                     err_msg=f"proc {pid} {algo} {k}")
+
+
+_CLI_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "multiproc_cli_worker.py")
+
+
+def test_train_cli_multihost_two_processes(tmp_path):
+    """The user-facing pod launch: the SAME `cli.train --multihost`
+    command on two processes trains on the global mesh, evaluates
+    per-host, checkpoints collectively, and only process 0 writes the
+    report artifacts."""
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.update({
+            "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, _CLI_WORKER], env=env, cwd=str(tmp_path),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outputs = [p.communicate(timeout=540)[0] for p in procs]
+    results = []
+    for pid, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        lines = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
+        assert lines, out[-2000:]
+        results.append(json.loads(lines[0][len("RESULT "):]))
+    assert results[0]["processes"] == 2
+    # both processes computed identical accuracies from the global run
+    assert results[0]["oa_b"] == results[1]["oa_b"]
+    assert results[0]["oa_e"] == results[1]["oa_e"]
+    # one writer: the report artifacts exist exactly once (shared cwd)
+    assert os.path.exists(tmp_path / "Experiment_0/label_5/"
+                          "cmlpl_results.csv")
+    assert os.path.isdir(tmp_path / "ckpt")
