@@ -42,11 +42,11 @@ def main(argv=None):
     # pod runs: training uses the GLOBAL mesh; full-scene eval runs
     # per-host over the local devices (shard_map needs addressable
     # shardings; each host producing the full map keeps the CLI simple)
-    from cmlpl_tpu.core.mesh import create_mesh as _cm, is_multiprocess
-    import jax as _jax
+    from cmlpl_tpu.cli._common import eval_mesh_and_params
+    from cmlpl_tpu.core.mesh import is_multiprocess
 
     multiproc = is_multiprocess(mesh)
-    eval_mesh = _cm(_jax.local_devices()) if multiproc else mesh
+    eval_mesh, _ = eval_mesh_and_params(mesh)
     predictor = ScenePredictor(apply_b, patch_size=cfg.patch_size,
                                cols=scene.cols, tile=cfg.val_batch,
                                mesh=eval_mesh, gather=args.eval_gather)
@@ -82,12 +82,8 @@ def main(argv=None):
 
             save_history(args, history)
 
-        params_b, params_e = state.net_b.params, state.net_e.params
-        if multiproc:
-            # replicated global arrays -> host copies the local predictor
-            # can commit to its own devices
-            params_b = jax.device_get(params_b)
-            params_e = jax.device_get(params_e)
+        _, (params_b, params_e) = eval_mesh_and_params(
+            mesh, state.net_b.params, state.net_e.params)
         t0 = time.time()
         pred_b = predictor(params_b, scene)
         print(f"full-scene inference time == {time.time() - t0:.3f}s")

@@ -51,22 +51,28 @@ def main(argv=None):
                                train=False)
         return head.apply({"params": params["dec_base"]}, fea)
 
+    from cmlpl_tpu.cli._common import eval_mesh_and_params
+
+    eval_mesh, (p_all,) = eval_mesh_and_params(mesh, state.params)
     predictor = ScenePredictor(apply_cct, patch_size=cfg.patch_size,
                                cols=scene.cols, tile=cfg.val_batch,
-                               mesh=mesh, gather=args.eval_gather)
+                               mesh=eval_mesh, gather=args.eval_gather)
     t0 = time.time()
-    pred = predictor(state.params, scene)
+    pred = predictor(p_all, scene)
     print(f"full-scene inference time == {time.time() - t0:.3f}s")
 
     y_test = scene.labels[splits.test] - 1
     acc = cal_accuracy(pred[splits.test], y_test)
     report_accuracy("CCT", acc)
 
+    from cmlpl_tpu.cli._common import is_primary
+
     out = save_path(args, spec)
-    save_class_map(
-        os.path.join(out, f"CCT_OA_{int(acc.oa * 10000)}.svg"),
-        pred + 1, spec, rows=scene.rows, cols=scene.cols)
-    save_report(os.path.join(out, "cct_results.csv"), [acc])
+    if is_primary():
+        save_class_map(
+            os.path.join(out, f"CCT_OA_{int(acc.oa * 10000)}.svg"),
+            pred + 1, spec, rows=scene.rows, cols=scene.cols)
+        save_report(os.path.join(out, "cct_results.csv"), [acc])
     save_final_checkpoint(args, state)
     return acc
 

@@ -47,13 +47,17 @@ def main(argv=None):
     def apply_b(params, xp, x):
         return model.apply({"params": params}, xp, x, train=False)[0]
 
+    from cmlpl_tpu.cli._common import eval_mesh_and_params
+
+    eval_mesh, (p_b, p_e) = eval_mesh_and_params(
+        mesh, state.net_b.params, state.net_e.params)
     predictor = ScenePredictor(apply_b, patch_size=cfg.patch_size,
                                cols=scene.cols, tile=cfg.val_batch,
-                               mesh=mesh, gather=args.eval_gather)
+                               mesh=eval_mesh, gather=args.eval_gather)
     t0 = time.time()
-    pred_b = predictor(state.net_b.params, scene)
+    pred_b = predictor(p_b, scene)
     print(f"full-scene inference time == {time.time() - t0:.3f}s")
-    pred_e = predictor(state.net_e.params, scene)
+    pred_e = predictor(p_e, scene)
 
     y_test = scene.labels[splits.test] - 1
     acc_b = cal_accuracy(pred_b[splits.test], y_test)
@@ -61,11 +65,14 @@ def main(argv=None):
     report_accuracy("net B", acc_b)
     report_accuracy("net E", acc_e)
 
+    from cmlpl_tpu.cli._common import is_primary
+
     out = save_path(args, spec)
-    save_class_map(
-        os.path.join(out, f"CPS_OA_{int(acc_b.oa * 10000)}.svg"),
-        pred_b + 1, spec, rows=scene.rows, cols=scene.cols)
-    save_report(os.path.join(out, "cps_results.csv"), [acc_b], [acc_e])
+    if is_primary():
+        save_class_map(
+            os.path.join(out, f"CPS_OA_{int(acc_b.oa * 10000)}.svg"),
+            pred_b + 1, spec, rows=scene.rows, cols=scene.cols)
+        save_report(os.path.join(out, "cps_results.csv"), [acc_b], [acc_e])
     save_final_checkpoint(args, state)
     return acc_b, acc_e
 

@@ -21,7 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def main():
-    from cmlpl_tpu.cli.train import main as train_main
+    algo = sys.argv[1] if len(sys.argv) > 1 else "cmlpl"
+    if algo == "cps":
+        from cmlpl_tpu.cli.train_cps import main as train_main
+    else:
+        from cmlpl_tpu.cli.train import main as train_main
 
     acc_b, acc_e = train_main([
         "--dataID", "0", "--n_PC", "8", "--num_epochs", "2",
@@ -30,6 +34,7 @@ def main():
         "--dropout", "0.0", "--print_per_batches", "0",
         "--checkpoint_dir", "./ckpt", "--multihost"])
     print("RESULT " + json.dumps({
+        "algo": algo,
         "process": jax.process_index(),
         "processes": jax.process_count(),
         "oa_b": round(acc_b.oa, 6), "oa_e": round(acc_e.oa, 6)}),

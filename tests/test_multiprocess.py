@@ -117,7 +117,8 @@ _CLI_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "multiproc_cli_worker.py")
 
 
-def test_train_cli_multihost_two_processes(tmp_path):
+@pytest.mark.parametrize("algo", ["cmlpl", "cps"])
+def test_train_cli_multihost_two_processes(tmp_path, algo):
     """The user-facing pod launch: the SAME `cli.train --multihost`
     command on two processes trains on the global mesh, evaluates
     per-host, checkpoints collectively, and only process 0 writes the
@@ -133,7 +134,8 @@ def test_train_cli_multihost_two_processes(tmp_path):
             "JAX_PROCESS_ID": str(pid),
         })
         procs.append(subprocess.Popen(
-            [sys.executable, _CLI_WORKER], env=env, cwd=str(tmp_path),
+            [sys.executable, _CLI_WORKER, algo], env=env,
+            cwd=str(tmp_path),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     outputs = [p.communicate(timeout=540)[0] for p in procs]
     results = []
@@ -147,6 +149,6 @@ def test_train_cli_multihost_two_processes(tmp_path):
     assert results[0]["oa_b"] == results[1]["oa_b"]
     assert results[0]["oa_e"] == results[1]["oa_e"]
     # one writer: the report artifacts exist exactly once (shared cwd)
-    assert os.path.exists(tmp_path / "Experiment_0/label_5/"
-                          "cmlpl_results.csv")
+    csv = "cmlpl_results.csv" if algo == "cmlpl" else "cps_results.csv"
+    assert os.path.exists(tmp_path / "Experiment_0/label_5" / csv)
     assert os.path.isdir(tmp_path / "ckpt")
