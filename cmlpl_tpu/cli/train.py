@@ -43,9 +43,7 @@ def main(argv=None):
     # per-host over the local devices (shard_map needs addressable
     # shardings; each host producing the full map keeps the CLI simple)
     from cmlpl_tpu.cli._common import eval_mesh_and_params
-    from cmlpl_tpu.core.mesh import is_multiprocess
 
-    multiproc = is_multiprocess(mesh)
     eval_mesh, _ = eval_mesh_and_params(mesh)
     predictor = ScenePredictor(apply_b, patch_size=cfg.patch_size,
                                cols=scene.cols, tile=cfg.val_batch,
