@@ -129,7 +129,12 @@ class ScenePredictor:
         return jax.jit(predict, static_argnames=static)
 
     def __call__(self, params, scene: PreparedScene) -> np.ndarray:
-        """Returns 0-based predicted class ids for all rows*cols pixels."""
+        """Returns 0-based predicted class ids for all rows*cols pixels.
+
+        On a multi-process (pod) mesh each host classifies its own strip
+        of the tile grid and the strips are allgathered back to every
+        host — scene-scale work splits across the pod instead of being
+        duplicated per host."""
         k = scene.num_pixels
         n_dev = 1 if self.mesh is None else self.mesh.devices.size
         per_tile = self.tile
@@ -147,6 +152,27 @@ class ScenePredictor:
             from cmlpl_tpu.ops.patch_gather import build_shifted_cube_bf16
 
             cube = build_shifted_cube_bf16(cube)
+
+        from cmlpl_tpu.core.mesh import host_to_global, is_multiprocess
+
+        if is_multiprocess(self.mesh):
+            axis = self.mesh.axis_names[0]
+            repl = jax.sharding.NamedSharding(self.mesh, P())
+            params = jax.tree_util.tree_map(
+                lambda a: host_to_global(repl, jax.device_get(a)), params)
+            cube = host_to_global(repl, jax.device_get(cube))
+            spectra = host_to_global(repl, jax.device_get(scene.spectra))
+            tiles = host_to_global(
+                jax.sharding.NamedSharding(self.mesh, P(axis, None)),
+                idx_tiles)
+            preds = self._predict(params, cube, spectra, tiles,
+                                  scene.n_pc)
+            from jax.experimental import multihost_utils
+
+            gathered = multihost_utils.process_allgather(preds,
+                                                         tiled=True)
+            return np.asarray(gathered).reshape(-1)[:k]
+
         preds = self._predict(params, cube, scene.spectra,
                               jnp.asarray(idx_tiles), scene.n_pc)
         return np.asarray(jax.device_get(preds)).reshape(-1)[:k]

@@ -97,6 +97,27 @@ def main():
         np.asarray(jax.device_get(s2.net_b.params["feat_spe"]["kernel"])),
         np.asarray(restored.net_b.params["feat_spe"]["kernel"]))
     out["checkpoint_roundtrip"] = True
+
+    # global-mesh pod inference: each host classifies its strip of the
+    # tile grid, strips allgathered back — compare vs a local predictor
+    from cmlpl_tpu.eval import ScenePredictor
+
+    model = t.model
+
+    def apply_b(p, xp, x):
+        return model.apply({"params": p}, xp, x, train=False)[0]
+
+    global_pred = ScenePredictor(apply_b, patch_size=20,
+                                 cols=scene.cols, tile=32,
+                                 mesh=mesh)(s2.net_b.params, scene)
+    local_mesh = create_mesh(jax.local_devices())
+    params_host = jax.device_get(s2.net_b.params)
+    local_pred = ScenePredictor(apply_b, patch_size=20, cols=scene.cols,
+                                tile=32, mesh=local_mesh)(params_host,
+                                                          scene)
+    np.testing.assert_array_equal(np.asarray(global_pred),
+                                  np.asarray(local_pred))
+    out["global_mesh_inference"] = True
     print("METRICS " + json.dumps(out), flush=True)
 
 

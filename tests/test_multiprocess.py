@@ -106,6 +106,7 @@ def test_two_process_pod_step_matches_single_process(tmp_path):
         assert lines, f"proc {pid} printed no metrics:\n{out[-2000:]}"
         got = json.loads(lines[0][len("METRICS "):])
         assert got.pop("checkpoint_roundtrip") is True
+        assert got.pop("global_mesh_inference") is True
         for algo, metrics in want.items():
             for k, v in metrics.items():
                 np.testing.assert_allclose(
