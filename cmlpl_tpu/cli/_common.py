@@ -241,17 +241,3 @@ def is_primary() -> bool:
     import jax
 
     return jax.process_index() == 0
-
-
-def eval_mesh_and_params(mesh, *param_trees):
-    """Pod runs: full-scene eval runs per-host (shard_map needs
-    addressable shardings) — returns a local-devices mesh and host copies
-    of the (replicated) parameter trees.  Single-process: passthrough."""
-    import jax
-
-    from cmlpl_tpu.core.mesh import create_mesh, is_multiprocess
-
-    if not is_multiprocess(mesh):
-        return mesh, param_trees
-    return (create_mesh(jax.local_devices()),
-            tuple(jax.device_get(t) for t in param_trees))

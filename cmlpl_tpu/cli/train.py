@@ -39,15 +39,11 @@ def main(argv=None):
     def apply_b(params, xp, x):
         return model.apply({"params": params}, xp, x, train=False)[0]
 
-    # pod runs: training uses the GLOBAL mesh; full-scene eval runs
-    # per-host over the local devices (shard_map needs addressable
-    # shardings; each host producing the full map keeps the CLI simple)
-    from cmlpl_tpu.cli._common import eval_mesh_and_params
-
-    eval_mesh, _ = eval_mesh_and_params(mesh)
+    # ScenePredictor handles pod meshes itself (tiles split across
+    # hosts, strips allgathered back — eval/inference.py)
     predictor = ScenePredictor(apply_b, patch_size=cfg.patch_size,
                                cols=scene.cols, tile=cfg.val_batch,
-                               mesh=eval_mesh, gather=args.eval_gather)
+                               mesh=mesh, gather=args.eval_gather)
     y_test = scene.labels[splits.test] - 1
     out = save_path(args, spec)
 
@@ -80,12 +76,10 @@ def main(argv=None):
 
             save_history(args, history)
 
-        _, (params_b, params_e) = eval_mesh_and_params(
-            mesh, state.net_b.params, state.net_e.params)
         t0 = time.time()
-        pred_b = predictor(params_b, scene)
+        pred_b = predictor(state.net_b.params, scene)
         print(f"full-scene inference time == {time.time() - t0:.3f}s")
-        pred_e = predictor(params_e, scene)
+        pred_e = predictor(state.net_e.params, scene)
 
         acc_b = cal_accuracy(pred_b[splits.test], y_test)
         acc_e = cal_accuracy(pred_e[splits.test], y_test)

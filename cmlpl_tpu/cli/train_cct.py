@@ -51,14 +51,11 @@ def main(argv=None):
                                train=False)
         return head.apply({"params": params["dec_base"]}, fea)
 
-    from cmlpl_tpu.cli._common import eval_mesh_and_params
-
-    eval_mesh, (p_all,) = eval_mesh_and_params(mesh, state.params)
     predictor = ScenePredictor(apply_cct, patch_size=cfg.patch_size,
                                cols=scene.cols, tile=cfg.val_batch,
-                               mesh=eval_mesh, gather=args.eval_gather)
+                               mesh=mesh, gather=args.eval_gather)
     t0 = time.time()
-    pred = predictor(p_all, scene)
+    pred = predictor(state.params, scene)
     print(f"full-scene inference time == {time.time() - t0:.3f}s")
 
     y_test = scene.labels[splits.test] - 1

@@ -47,17 +47,13 @@ def main(argv=None):
     def apply_b(params, xp, x):
         return model.apply({"params": params}, xp, x, train=False)[0]
 
-    from cmlpl_tpu.cli._common import eval_mesh_and_params
-
-    eval_mesh, (p_b, p_e) = eval_mesh_and_params(
-        mesh, state.net_b.params, state.net_e.params)
     predictor = ScenePredictor(apply_b, patch_size=cfg.patch_size,
                                cols=scene.cols, tile=cfg.val_batch,
-                               mesh=eval_mesh, gather=args.eval_gather)
+                               mesh=mesh, gather=args.eval_gather)
     t0 = time.time()
-    pred_b = predictor(p_b, scene)
+    pred_b = predictor(state.net_b.params, scene)
     print(f"full-scene inference time == {time.time() - t0:.3f}s")
-    pred_e = predictor(p_e, scene)
+    pred_e = predictor(state.net_e.params, scene)
 
     y_test = scene.labels[splits.test] - 1
     acc_b = cal_accuracy(pred_b[splits.test], y_test)
