@@ -176,9 +176,14 @@ def make_epoch_hook(args):
     return hook
 
 
-def maybe_resume(args, state, batches_per_epoch: int):
+def maybe_resume(args, state, batches_per_epoch: int, trainer=None):
     """--resume: restore the latest checkpoint into ``state``'s structure
-    and derive the epoch to restart from; returns (state, start_epoch)."""
+    and derive the epoch to restart from; returns (state, start_epoch).
+
+    With ``trainer``, the restored host-local state is re-placed on the
+    trainer's mesh with its state shardings (core.mesh.place_state) —
+    required on multi-process pods, where the jitted fns' in_shardings
+    span non-addressable devices and reject plain host arrays."""
     if not (args.resume and args.checkpoint_dir):
         return state, 0
     import jax
@@ -189,7 +194,12 @@ def maybe_resume(args, state, batches_per_epoch: int):
         state = restore_checkpoint(args.checkpoint_dir,
                                    jax.device_get(state))
         start_epoch = int(state.step) // batches_per_epoch
-        print(f"resumed from step {int(state.step)} "
+        if trainer is not None:
+            from cmlpl_tpu.core.mesh import place_state
+
+            state = place_state(trainer.mesh, state,
+                                getattr(trainer, "_state_sh", None))
+        print(f"resumed from step {int(jax.device_get(state.step))} "
               f"(epoch {start_epoch})")
         return state, start_epoch
     except FileNotFoundError:

@@ -56,7 +56,8 @@ def main(argv=None):
         start_epoch = 0
         if index_iter == 0:
             state, start_epoch = maybe_resume(args, state,
-                                              sampler.batches_per_epoch)
+                                              sampler.batches_per_epoch,
+                                              trainer=trainer)
 
         if args.profile_dir and index_iter == 0:
             from cmlpl_tpu.utils.profiling import trace

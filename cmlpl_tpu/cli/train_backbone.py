@@ -65,7 +65,8 @@ def main(argv=None):
     bs = min(args.labeled_batch_size, len(splits.train))
     state, start_epoch = maybe_resume(
         args, state,
-        trainer.steps_per_epoch(len(splits.train), bs, args.epoch_samples))
+        trainer.steps_per_epoch(len(splits.train), bs, args.epoch_samples),
+        trainer=trainer)
     state, history = trainer.fit(
         state, scene, splits.train, scene.labels, batch_size=bs,
         num_epochs=args.num_epochs, epoch_samples=args.epoch_samples,

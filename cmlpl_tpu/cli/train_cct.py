@@ -35,7 +35,8 @@ def main(argv=None):
     trainer = CCTTrainer(cfg, mesh=mesh)
     state = trainer.init_state(rng)
     state, start_epoch = maybe_resume(args, state,
-                                      sampler.batches_per_epoch)
+                                      sampler.batches_per_epoch,
+                                      trainer=trainer)
     state, history = trainer.fit(state, scene, sampler,
                                  log_every=args.print_per_batches,
                                  start_epoch=start_epoch,

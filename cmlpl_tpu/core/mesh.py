@@ -50,6 +50,10 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         return 1  # single process: nothing to initialize
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
+    if jax.distributed.is_initialized():
+        # already joined the cluster (e.g. two CLI mains in one process,
+        # as a resume-after-train driver does): idempotent by design
+        return jax.process_count()
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes, process_id=process_id)
@@ -82,6 +86,28 @@ def host_to_global(sharding, arr) -> jax.Array:
     arr = np.asarray(arr)
     return jax.make_array_from_callback(arr.shape, sharding,
                                         lambda idx: arr[idx])
+
+
+def place_state(mesh: Optional[Mesh], state, sh_tree=None):
+    """Place a host-local state pytree (e.g. a restored checkpoint) onto
+    ``mesh`` — pod-safe.
+
+    On a multi-process mesh the trainers' jitted fns have in_shardings
+    spanning non-addressable devices; ``jax.device_put`` rejects those,
+    so every leaf is formed as a global array via :func:`host_to_global`
+    (all processes restore the same checkpoint bytes, so host copies
+    agree).  ``sh_tree`` supplies per-leaf shardings (a trainer's TP
+    state-sharding tree); default fully replicated.  No-op without a
+    mesh."""
+    if mesh is None:
+        return state
+    if sh_tree is None:
+        repl = replicated_sharding(mesh)
+        sh_tree = jax.tree_util.tree_map(lambda _: repl, state)
+    if is_multiprocess(mesh):
+        return jax.tree_util.tree_map(
+            lambda a, sh: host_to_global(sh, a), state, sh_tree)
+    return jax.device_put(state, sh_tree)
 
 
 def create_mesh(devices: Optional[Sequence[jax.Device]] = None,

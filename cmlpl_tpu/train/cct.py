@@ -214,8 +214,8 @@ class CCTTrainer(EpochDriver):
 
             return jax.lax.scan(body, state, (lab_idx, lab_y, unl_idx))
 
-        # per-dispatch cube transform for the configured gather
-        # (prep_cube is idempotent; see train/cps.py)
+        # cube transform for the configured gather, applied exactly once
+        # at the dispatch boundary (NOT idempotent; see train/cps.py)
         def step_entry(state, padded, *rest):
             return step(state, prep_cube(padded), *rest)
 

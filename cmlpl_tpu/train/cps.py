@@ -186,9 +186,10 @@ class CPSTrainer(EpochDriver):
 
             return jax.lax.scan(body, state, (lab_idx, lab_y, unl_idx))
 
-        # entry wrappers: the configured gather's cube transform happens
-        # once per dispatch, outside the scans (prep_cube is idempotent,
-        # so run_fn's internal epoch_fn calls are safe)
+        # entry wrappers: the configured gather's cube transform
+        # (prep_cube) is applied exactly once, at the dispatch boundary —
+        # the inner step/epoch/run fns receive the already-prepped cube
+        # (pallas_bf16's shift-stack transform is NOT idempotent)
         def step_entry(state, padded, *rest):
             return step(state, prep_cube(padded), *rest)
 

@@ -121,8 +121,9 @@ _CLI_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 @pytest.mark.parametrize("algo", ["cmlpl", "cps"])
 def test_train_cli_multihost_two_processes(tmp_path, algo):
     """The user-facing pod launch: the SAME `cli.train --multihost`
-    command on two processes trains on the global mesh, evaluates
-    per-host, checkpoints collectively, and only process 0 writes the
+    command on two processes trains AND evaluates on the global mesh
+    (scene tiles split across hosts, strips allgathered), checkpoints
+    collectively, resumes pod-safely, and only process 0 writes the
     report artifacts."""
     port = _free_port()
     procs = []
@@ -146,9 +147,12 @@ def test_train_cli_multihost_two_processes(tmp_path, algo):
         assert lines, out[-2000:]
         results.append(json.loads(lines[0][len("RESULT "):]))
     assert results[0]["processes"] == 2
-    # both processes computed identical accuracies from the global run
+    # both processes computed identical accuracies from the global run,
+    # including after the pod-safe --resume (+1 epoch) pass
     assert results[0]["oa_b"] == results[1]["oa_b"]
     assert results[0]["oa_e"] == results[1]["oa_e"]
+    assert results[0]["resumed_oa_b"] == results[1]["resumed_oa_b"]
+    assert results[0]["resumed_oa_e"] == results[1]["resumed_oa_e"]
     # one writer: the report artifacts exist exactly once (shared cwd)
     csv = "cmlpl_results.csv" if algo == "cmlpl" else "cps_results.csv"
     assert os.path.exists(tmp_path / "Experiment_0/label_5" / csv)
