@@ -38,6 +38,11 @@ def main(argv=None):
                    choices=sorted(ZOO.keys()))
     p.add_argument("--epoch_samples", type=int, default=None,
                    help="tile the labeled split to this many samples/epoch")
+    p.add_argument("--ema_teacher", type=float, default=0.0,
+                   help="EMA-teacher decay alpha (e.g. 0.95): maintain an "
+                        "exponential-moving-average copy of the weights "
+                        "and ALSO evaluate it (reference WeightEMA_BN, "
+                        "tools/models.py:155-164 — dead code there)")
     args = p.parse_args(argv)
     setup_runtime(args)
 
@@ -60,7 +65,8 @@ def main(argv=None):
     trainer = SupervisedTrainer(
         model, entry, lr=args.lr, patch_size=w, n_pc=n_pc,
         num_features=spec.num_bands, mesh=mesh,
-        augment=bool(args.augment), gather_impl=args.gather_impl)
+        augment=bool(args.augment), gather_impl=args.gather_impl,
+        ema_alpha=args.ema_teacher)
     state = trainer.init_state(rng)
     bs = min(args.labeled_batch_size, len(splits.train))
     state, start_epoch = maybe_resume(
@@ -84,6 +90,10 @@ def main(argv=None):
     y_test = scene.labels[splits.test] - 1
     acc = cal_accuracy(pred[splits.test], y_test)
     report_accuracy(args.model, acc)
+    if args.ema_teacher > 0:
+        pred_t = predictor(trainer.eval_variables(state, ema=True), scene)
+        acc_t = cal_accuracy(pred_t[splits.test], y_test)
+        report_accuracy(f"{args.model} EMA teacher", acc_t)
 
     out = save_path(args, spec)
     save_class_map(

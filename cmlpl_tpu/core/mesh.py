@@ -88,6 +88,53 @@ def host_to_global(sharding, arr) -> jax.Array:
                                         lambda idx: arr[idx])
 
 
+def basenet_tp_shardings(mesh: Mesh, template):
+    """Tensor-parallel sharding tree for a BaseNet2-family param (or Adam
+    moment) pytree on a ("data", "model") mesh.
+
+    The wide spectral path is the only tensor worth sharding at this
+    model scale: ``feat_spe`` (bands -> 1024) is column-sharded over
+    "model" (output features + bias), and the ``classifier`` kernel is
+    row-sharded on its contraction dim (the 2624-d concat whose spectral
+    half arrives "model"-sharded).  Everything else (the small convs, BN
+    stats) is replicated.  GSPMD then inserts the TP collectives: psum
+    for the l2-norm and classifier contractions, all-gathers where
+    replicated activations are needed.  Falls back to fully-replicated
+    when the mesh has no "model" axis, so the same call works on 1-D dp
+    meshes.  Adam moments inherit their parameter's sharding via the
+    same path rules (pass the opt-state tree)."""
+    repl = replicated_sharding(mesh)
+    if "model" not in mesh.axis_names:
+        return jax.tree_util.tree_map(lambda _: repl, template)
+    from jax.tree_util import tree_map_with_path
+
+    def rule(path, leaf):
+        names = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "feat_spe" in names and leaf.ndim == 2:
+            return NamedSharding(mesh, P(None, "model"))
+        if "feat_spe" in names and leaf.ndim == 1:
+            return NamedSharding(mesh, P("model"))
+        if "classifier" in names and leaf.ndim == 2:
+            return NamedSharding(mesh, P("model", None))
+        return repl
+
+    return tree_map_with_path(rule, template)
+
+
+def assert_tp_placed(params, what: str = "params") -> None:
+    """Fail loudly if tensor parallelism silently degraded to
+    replication: checks that the ``feat_spe`` kernel of ``params`` is
+    actually laid out over the "model" axis (used by dryrun_multichip on
+    2-D meshes)."""
+    kern = params["feat_spe"]["kernel"]
+    spec = getattr(kern.sharding, "spec", ())
+    placed = any(ax == "model" or (isinstance(ax, tuple) and "model" in ax)
+                 for ax in tuple(spec))
+    assert placed, (
+        f"{what}: feat_spe kernel is not sharded over the 'model' axis "
+        f"(sharding={kern.sharding}); TP degraded to replication")
+
+
 def place_state(mesh: Optional[Mesh], state, sh_tree=None):
     """Place a host-local state pytree (e.g. a restored checkpoint) onto
     ``mesh`` — pod-safe.

@@ -71,10 +71,11 @@ class CCTTrainer(EpochDriver):
         self.head = LinearClassifier(config.num_classes, in_features=joint)
         self.opt_base = optax.adam(config.lr)
         self.opt_aug = optax.adam(config.lr)
+        self._state_sh = self._state_sharding_tree()
         self._step_fn, self._epoch_fn, self._run_fn = \
             self._build_step()
 
-    def init_state(self, rng: jax.Array) -> CCTTrainState:
+    def _make_state(self, rng: jax.Array) -> CCTTrainState:
         cfg = self.config
         ks = jax.random.split(rng, 5)
         xp = jnp.zeros((1, cfg.patch_size, cfg.patch_size, cfg.n_pc))
@@ -87,7 +88,7 @@ class CCTTrainer(EpochDriver):
             "dec1": self.head.init(ks[2], fea)["params"],
             "dec2": self.head.init(ks[3], fea)["params"],
         }
-        state = CCTTrainState(
+        return CCTTrainState(
             params=params,
             opt_base=self.opt_base.init(
                 {"encoder": params["encoder"],
@@ -96,15 +97,33 @@ class CCTTrainer(EpochDriver):
                 {"encoder": params["encoder"], "dec1": params["dec1"],
                  "dec2": params["dec2"]}),
             rng=ks[4], step=jnp.zeros((), jnp.int32))
-        if self.mesh is not None:
-            sh = NamedSharding(self.mesh, P())
-            if self._multiproc:
-                from cmlpl_tpu.core.mesh import host_to_global
 
-                return jax.tree_util.tree_map(
-                    lambda a: host_to_global(sh, a), state)
-            state = jax.device_put(state, sh)
-        return state
+    def _state_sharding_tree(self):
+        """Encoder gets the BaseNet2 TP rules (its feat_spe/classifier
+        live under params["encoder"]; core.mesh.basenet_tp_shardings keys
+        on leaf paths, so applying the rules to the whole params and both
+        overlapping opt-state trees shards exactly the encoder's wide
+        spectral path); the three linear decoder heads stay replicated."""
+        mesh = self.mesh
+        if mesh is None:
+            return None
+        from cmlpl_tpu.core.mesh import basenet_tp_shardings
+
+        repl = NamedSharding(mesh, P())
+        template = jax.eval_shape(self._make_state, jax.random.key(0))
+        return CCTTrainState(
+            params=basenet_tp_shardings(mesh, template.params),
+            opt_base=basenet_tp_shardings(mesh, template.opt_base),
+            opt_aug=basenet_tp_shardings(mesh, template.opt_aug),
+            rng=repl, step=repl)
+
+    def init_state(self, rng: jax.Array) -> CCTTrainState:
+        state = self._make_state(rng)
+        if self.mesh is None:
+            return state
+        from cmlpl_tpu.core.mesh import place_state
+
+        return place_state(self.mesh, state, self._state_sh)
 
     def _put(self, a, pspec):
         if not self._multiproc:
@@ -230,20 +249,21 @@ class CCTTrainer(EpochDriver):
             batch_sh = NamedSharding(self.mesh, P("data"))
             epoch_sh = NamedSharding(self.mesh, P(None, "data"))
             run_sh = NamedSharding(self.mesh, P(None, None, "data"))
+            state_sh = self._state_sh
             return (jax.jit(step_entry, static_argnums=(6,),
-                            in_shardings=(repl, repl, repl, batch_sh,
+                            in_shardings=(state_sh, repl, repl, batch_sh,
                                           batch_sh, batch_sh),
-                            out_shardings=(repl, repl),
+                            out_shardings=(state_sh, repl),
                             donate_argnums=self._donate),
                     jax.jit(epoch_entry, static_argnums=(6,),
-                            in_shardings=(repl, repl, repl, epoch_sh,
+                            in_shardings=(state_sh, repl, repl, epoch_sh,
                                           epoch_sh, epoch_sh),
-                            out_shardings=(repl, repl),
+                            out_shardings=(state_sh, repl),
                             donate_argnums=self._donate),
                     jax.jit(run_entry, static_argnums=(6,),
-                            in_shardings=(repl, repl, repl, run_sh,
+                            in_shardings=(state_sh, repl, repl, run_sh,
                                           run_sh, run_sh),
-                            out_shardings=(repl, repl),
+                            out_shardings=(state_sh, repl),
                             donate_argnums=self._donate))
         return (jax.jit(step_entry, static_argnums=(6,),
                         donate_argnums=self._donate),

@@ -135,22 +135,12 @@ class CMLPLTrainer(EpochDriver):
         if "model" not in mesh.axis_names:
             return jax.tree_util.tree_map(lambda _: repl, template)
 
-        def param_rule(path, leaf):
-            names = "/".join(str(getattr(k, "key", k)) for k in path)
-            if "feat_spe" in names and leaf.ndim == 2:
-                return NamedSharding(mesh, P(None, "model"))
-            if "feat_spe" in names and leaf.ndim == 1:
-                return NamedSharding(mesh, P("model"))
-            if "classifier" in names and leaf.ndim == 2:
-                return NamedSharding(mesh, P("model", None))
-            return repl
-
-        from jax.tree_util import tree_map_with_path
+        from cmlpl_tpu.core.mesh import basenet_tp_shardings
 
         def net_sh(net):
             return NetState(
-                tree_map_with_path(param_rule, net.params),
-                tree_map_with_path(param_rule, net.opt_state))
+                basenet_tp_shardings(mesh, net.params),
+                basenet_tp_shardings(mesh, net.opt_state))
 
         queue_sh = type(template.queue_w)(
             feats=NamedSharding(mesh, P(None, "model")),

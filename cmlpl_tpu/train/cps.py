@@ -70,29 +70,49 @@ class CPSTrainer(EpochDriver):
             dtype=(jnp.bfloat16 if config.compute_dtype == "bfloat16"
                    else None))
         self.optimizer = optax.adam(config.lr)
+        self._state_sh = self._state_sharding_tree()
         self._step_fn, self._epoch_fn, self._run_fn = \
             self._build_step()
 
-    def init_state(self, rng: jax.Array) -> CPSTrainState:
+    def _make_state(self, rng: jax.Array) -> CPSTrainState:
         cfg = self.config
         k_b, k_e, k_run = jax.random.split(rng, 3)
         xp = jnp.zeros((1, cfg.patch_size, cfg.patch_size, cfg.n_pc))
         x = jnp.zeros((1, cfg.num_features))
         params_b = self.model.init(k_b, xp, x, train=False)["params"]
         params_e = self.model.init(k_e, xp, x, train=False)["params"]
-        state = CPSTrainState(
+        return CPSTrainState(
             net_b=NetState(params_b, self.optimizer.init(params_b)),
             net_e=NetState(params_e, self.optimizer.init(params_e)),
             rng=k_run, step=jnp.zeros((), jnp.int32))
-        if self.mesh is not None:
-            sh = NamedSharding(self.mesh, P())
-            if self._multiproc:
-                from cmlpl_tpu.core.mesh import host_to_global
 
-                return jax.tree_util.tree_map(
-                    lambda a: host_to_global(sh, a), state)
-            state = jax.device_put(state, sh)
-        return state
+    def _state_sharding_tree(self):
+        """Dual-BaseNet2 state shardings: same dp + opt-in dp x tp rules
+        as CMLPL (core.mesh.basenet_tp_shardings) — the CPS state is the
+        identical pair of networks minus the queues."""
+        mesh = self.mesh
+        if mesh is None:
+            return None
+        from cmlpl_tpu.core.mesh import basenet_tp_shardings
+
+        repl = NamedSharding(mesh, P())
+        template = jax.eval_shape(self._make_state, jax.random.key(0))
+
+        def net_sh(net):
+            return NetState(basenet_tp_shardings(mesh, net.params),
+                            basenet_tp_shardings(mesh, net.opt_state))
+
+        return CPSTrainState(
+            net_b=net_sh(template.net_b), net_e=net_sh(template.net_e),
+            rng=repl, step=repl)
+
+    def init_state(self, rng: jax.Array) -> CPSTrainState:
+        state = self._make_state(rng)
+        if self.mesh is None:
+            return state
+        from cmlpl_tpu.core.mesh import place_state
+
+        return place_state(self.mesh, state, self._state_sh)
 
     def _put(self, a, pspec):
         if not self._multiproc:
@@ -204,20 +224,21 @@ class CPSTrainer(EpochDriver):
             batch_sh = NamedSharding(self.mesh, P("data"))
             epoch_sh = NamedSharding(self.mesh, P(None, "data"))
             run_sh = NamedSharding(self.mesh, P(None, None, "data"))
+            state_sh = self._state_sh
             return (jax.jit(step_entry, static_argnums=(6,),
-                            in_shardings=(repl, repl, repl, batch_sh,
+                            in_shardings=(state_sh, repl, repl, batch_sh,
                                           batch_sh, batch_sh),
-                            out_shardings=(repl, repl),
+                            out_shardings=(state_sh, repl),
                             donate_argnums=self._donate),
                     jax.jit(epoch_entry, static_argnums=(6,),
-                            in_shardings=(repl, repl, repl, epoch_sh,
+                            in_shardings=(state_sh, repl, repl, epoch_sh,
                                           epoch_sh, epoch_sh),
-                            out_shardings=(repl, repl),
+                            out_shardings=(state_sh, repl),
                             donate_argnums=self._donate),
                     jax.jit(run_entry, static_argnums=(6,),
-                            in_shardings=(repl, repl, repl, run_sh,
+                            in_shardings=(state_sh, repl, repl, run_sh,
                                           run_sh, run_sh),
-                            out_shardings=(repl, repl),
+                            out_shardings=(state_sh, repl),
                             donate_argnums=self._donate))
         return (jax.jit(step_entry, static_argnums=(6,),
                         donate_argnums=self._donate),

@@ -30,6 +30,10 @@ class SupervisedState(NamedTuple):
     opt_state: optax.OptState
     rng: jax.Array
     step: jax.Array
+    # EMA-teacher copy {"params", "batch_stats"} when ema_alpha > 0
+    # (reference WeightEMA_BN, tools/models.py:155-164 — defined but dead
+    # there; invocable here via --ema_teacher); () when disabled
+    ema: Any = ()
 
 
 class SupervisedTrainer:
@@ -38,7 +42,8 @@ class SupervisedTrainer:
     def __init__(self, model, entry, *, lr: float = 5e-4,
                  patch_size: int, n_pc: int, num_features: int,
                  mesh: Optional[Mesh] = None, augment: bool = False,
-                 donate: bool = True, gather_impl: str = "xla"):
+                 donate: bool = True, gather_impl: str = "xla",
+                 ema_alpha: float = 0.0):
         self.model = model
         self.entry = entry            # ZooEntry: inputs/returns_feature
         self.patch_size = patch_size
@@ -47,6 +52,7 @@ class SupervisedTrainer:
         self.mesh = mesh
         self.augment = augment
         self.gather_impl = gather_impl
+        self.ema_alpha = float(ema_alpha)
         from cmlpl_tpu.ops.patch_gather import check_gather_mesh
 
         check_gather_mesh(gather_impl, mesh)
@@ -55,6 +61,7 @@ class SupervisedTrainer:
         self._multiproc = is_multiprocess(mesh)
         self._donate = (0,) if donate else ()
         self.optimizer = optax.adam(lr)
+        self._state_sh = self._state_sharding_tree()
         self._step_fn, self._run_fn = self._build_step()
 
     # -- model plumbing -------------------------------------------------- #
@@ -76,7 +83,7 @@ class SupervisedTrainer:
 
         return fn
 
-    def init_state(self, rng: jax.Array) -> SupervisedState:
+    def _make_state(self, rng: jax.Array) -> SupervisedState:
         k_init, k_run = jax.random.split(rng)
         xp = jnp.zeros((2, self.patch_size, self.patch_size, self.n_pc))
         x = jnp.zeros((2, self.num_features))
@@ -85,19 +92,43 @@ class SupervisedTrainer:
                      else self.model.init(k_init, xp, train=False))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        state = SupervisedState(
+        # the teacher starts as a COPY (aliasing the student's buffers
+        # would make state donation hand the same buffer over twice)
+        ema = (jax.tree_util.tree_map(
+                   jnp.copy, {"params": params, "batch_stats": batch_stats})
+               if self.ema_alpha > 0 else ())
+        return SupervisedState(
             params=params, batch_stats=batch_stats,
             opt_state=self.optimizer.init(params),
-            rng=k_run, step=jnp.zeros((), jnp.int32))
-        if self.mesh is not None:
-            sh = NamedSharding(self.mesh, P())
-            if self._multiproc:
-                from cmlpl_tpu.core.mesh import host_to_global
+            rng=k_run, step=jnp.zeros((), jnp.int32), ema=ema)
 
-                return jax.tree_util.tree_map(
-                    lambda a: host_to_global(sh, a), state)
-            state = jax.device_put(state, sh)
-        return state
+    def _state_sharding_tree(self):
+        """dp + opt-in dp x tp: the BaseNet2 TP path rules
+        (core.mesh.basenet_tp_shardings) applied to params / Adam moments
+        / the EMA copy — they key on leaf paths, so backbones without a
+        feat_spe simply stay fully replicated on the model axis."""
+        mesh = self.mesh
+        if mesh is None:
+            return None
+        from cmlpl_tpu.core.mesh import basenet_tp_shardings
+
+        repl = NamedSharding(mesh, P())
+        template = jax.eval_shape(self._make_state, jax.random.key(0))
+        return SupervisedState(
+            params=basenet_tp_shardings(mesh, template.params),
+            batch_stats=jax.tree_util.tree_map(lambda _: repl,
+                                               template.batch_stats),
+            opt_state=basenet_tp_shardings(mesh, template.opt_state),
+            rng=repl, step=repl,
+            ema=basenet_tp_shardings(mesh, template.ema))
+
+    def init_state(self, rng: jax.Array) -> SupervisedState:
+        state = self._make_state(rng)
+        if self.mesh is None:
+            return state
+        from cmlpl_tpu.core.mesh import place_state
+
+        return place_state(self.mesh, state, self._state_sh)
 
     def _put(self, a, pspec):
         if not self._multiproc:
@@ -148,10 +179,21 @@ class SupervisedTrainer:
             grads, (new_stats, metrics) = jax.grad(
                 loss_fn, has_aux=True)(state.params)
             upd, opt_state = self.optimizer.update(grads, state.opt_state)
+            new_params = optax.apply_updates(state.params, upd)
+            ema = state.ema
+            if self.ema_alpha > 0:
+                # E = B*(1-a) + E*a over params AND BN buffers, from the
+                # post-update student (reference WeightEMA_BN semantics,
+                # tools/models.py:155-164)
+                from cmlpl_tpu.models.zoo import weight_ema
+
+                ema = weight_ema(
+                    {"params": new_params, "batch_stats": new_stats},
+                    state.ema, self.ema_alpha)
             return SupervisedState(
-                params=optax.apply_updates(state.params, upd),
+                params=new_params,
                 batch_stats=new_stats, opt_state=opt_state,
-                rng=rng, step=state.step + 1), metrics
+                rng=rng, step=state.step + 1, ema=ema), metrics
 
         def run_fn(state, padded, spectra, lab_idx, lab_y, cols: int):
             """All steps of the whole schedule as one lax.scan dispatch
@@ -173,15 +215,16 @@ class SupervisedTrainer:
             repl = NamedSharding(self.mesh, P())
             batch_sh = NamedSharding(self.mesh, P("data"))
             run_sh = NamedSharding(self.mesh, P(None, "data"))
+            state_sh = self._state_sh
             return (jax.jit(step_entry, static_argnums=(5,),
-                            in_shardings=(repl, repl, repl, batch_sh,
+                            in_shardings=(state_sh, repl, repl, batch_sh,
                                           batch_sh),
-                            out_shardings=(repl, repl),
+                            out_shardings=(state_sh, repl),
                             donate_argnums=self._donate),
                     jax.jit(run_entry, static_argnums=(5,),
-                            in_shardings=(repl, repl, repl, run_sh,
+                            in_shardings=(state_sh, repl, repl, run_sh,
                                           run_sh),
-                            out_shardings=(repl, repl),
+                            out_shardings=(state_sh, repl),
                             donate_argnums=self._donate))
         return (jax.jit(step_entry, static_argnums=(5,),
                         donate_argnums=self._donate),
@@ -307,7 +350,18 @@ class SupervisedTrainer:
                        f"acc={float(m['acc']) * 100:.2f}")
         return state, history
 
-    def eval_variables(self, state: SupervisedState):
+    def eval_variables(self, state: SupervisedState, ema: bool = False):
+        """Inference variables; ``ema=True`` selects the EMA-teacher copy
+        (requires ema_alpha > 0 at construction)."""
+        if ema:
+            if not state.ema:
+                raise ValueError("no EMA teacher in this state; construct "
+                                 "the trainer with ema_alpha > 0")
+            src = state.ema
+            variables = {"params": src["params"]}
+            if src["batch_stats"]:
+                variables["batch_stats"] = src["batch_stats"]
+            return variables
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats

@@ -1,0 +1,311 @@
+"""Reference-in-the-loop OA A/B (VERDICT r2 item 1).
+
+Runs the reference's UNMODIFIED training mains (/root/reference/train.py:65,
+trian_CPS.py, trian_CCT.py) on this host's CPU torch against a
+materialised synthetic scene in the reference's own .npy layout, and the
+same schedule through cmlpl_tpu's CLIs on JAX CPU — same scene bytes, same
+split arrays, same hyperparameters, N seeds each.  This closes the residual
+risk the transplant oracles (tests/test_full_step_torch_parity.py etc.)
+cannot: they validate this repo's *reading* of train.py, while here
+train.py validates itself end-to-end (HSIDataSet tiling at runtime sizes,
+DataLoader shuffling, queue pointer wraparound, the test_whole eval tail).
+
+Environment shims (absence-of-CUDA / missing-module only; ZERO reference
+algorithm lines are touched):
+  - sys.modules stubs: ``regularizer`` (missing from the reference repo —
+    trian_CPS.py:11 imports it, :163 constructs Distribution_Loss, never
+    invokes it), ``hdf5storage`` (Indian Pines loader only,
+    hyper_tools.py:269), ``torchvision`` (imported by tools/models.py:6,
+    never used)
+  - torch.Tensor.cuda / torch.nn.Module.cuda -> identity (CPU torch image)
+  - module-level ``DrawResult`` -> stub (hard-codes 610x340 scene dims,
+    hyper_tools.py:58-205; plotting tail only)
+  - module-level ``CalAccuracy`` wrapped to RECORD (OA, Kappa, producerA)
+    (the reference only prints them, train.py:298-306)
+
+Scene: the deterministic PaviaU-shaped synthetic scene (dataID 0: 9
+classes, 103 bands, 64x48) materialised by cli/sample_generation
+--materialize_patches into ./dataset/PaviaU/ so the reference's
+hard-coded dataID=1 paths (train.py:75-78, hsi_loader.py:8-9) find it.
+
+Default schedule (reduced for 1-vCPU torch): 10 epochs x 32 batches of
+64+64, num_unlabel=2048 — exactly 32 FULL batches per epoch, so the two
+sides' schedules agree (with a partial last batch the rebuild drops it;
+documented divergence, data/pipeline.py).
+
+Usage:  python scripts/reference_oracle.py [--algos cmlpl cps cct]
+        [--seeds 3] [--workdir ./refab]
+Prints ONE JSON line per algorithm (both OA distributions + an overlap
+verdict) and a summary line; also writes <workdir>/reference_ab.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import json
+import os
+import sys
+import time
+import types
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+REFERENCE = os.environ.get("CMLPL_REFERENCE", "/root/reference")
+
+os.environ.setdefault("MPLBACKEND", "Agg")
+
+# same-host A/B: both sides on this host's CPU (forced before any
+# backend init; the image's sitecustomize would otherwise register the
+# tunneled TPU backend for ours, making wall times incomparable)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+# --------------------------------------------------------------------- #
+# shims
+# --------------------------------------------------------------------- #
+def install_shims() -> None:
+    import torch
+
+    if "regularizer" not in sys.modules:
+        mod = types.ModuleType("regularizer")
+
+        class Distribution_Loss(torch.nn.Module):
+            """Stand-in for the module missing from the reference repo
+            (trian_CPS.py:11).  Constructed with loss='mmd' at
+            trian_CPS.py:163 and never invoked; forward implements a
+            plain RBF MMD so even an unexpected call stays meaningful
+            (full capability: cmlpl_tpu/objectives/mmd.py)."""
+
+            def __init__(self, loss: str = "mmd"):
+                super().__init__()
+                self.loss_name = loss
+
+            def forward(self, a, b):
+                z = torch.cat([a, b], dim=0)
+                d2 = torch.cdist(z, z) ** 2
+                k = torch.exp(-d2 / (2.0 * d2.median().clamp_min(1e-8)))
+                n = a.shape[0]
+                return (k[:n, :n].mean() + k[n:, n:].mean()
+                        - 2.0 * k[:n, n:].mean())
+
+        mod.Distribution_Loss = Distribution_Loss
+        sys.modules["regularizer"] = mod
+
+    if "hdf5storage" not in sys.modules:
+        h5 = types.ModuleType("hdf5storage")
+
+        def _loadmat(*a, **k):
+            raise RuntimeError("hdf5storage stub: Indian Pines .mat "
+                               "loading is not part of this A/B")
+
+        h5.loadmat = _loadmat
+        sys.modules["hdf5storage"] = h5
+
+    if "torchvision" not in sys.modules:
+        sys.modules["torchvision"] = types.ModuleType("torchvision")
+
+    # CPU image: .cuda() becomes identity
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+
+def reference_args(args, dataID: int = 1) -> argparse.Namespace:
+    """The reference scripts' full flag set (train.py:355-380 ==
+    trian_CPS.py:334-365 == trian_CCT.py:290-322), at our schedule.
+    dataID is an INT: the scripts compare `args.dataID == 1`
+    (their `type=str` default would crash any CLI-passed value)."""
+    return argparse.Namespace(
+        dataID=dataID, num_label=args.num_label, save_path_prefix="./",
+        labeled_batch_size=args.labeled_batch_size,
+        unlabeled_batch_size=args.unlabeled_batch_size,
+        val_batch_size=args.val_batch_size, num_workers=0,
+        lr=args.lr, num_epochs=args.num_epochs,
+        print_per_batches=10_000_000,  # silence per-batch prints
+        num_unlabel=args.num_unlabel, thr=1.0, alpha=0.95,
+        queue_batch=17, temperature=0.3, teacher_alpha=0.95,
+        dropout=args.dropout, noise=0.5, m=5)
+
+
+_REF_MODULES = {"cmlpl": "train", "cps": "trian_CPS", "cct": "trian_CCT"}
+
+
+def run_reference(algo: str, args, workdir: str) -> dict:
+    """Execute the reference main() N times; returns OA lists + timing."""
+    install_shims()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        mod = importlib.import_module(_REF_MODULES[algo])
+        # plotting tail stubs: DrawResult hard-codes the real scenes'
+        # dims and would crash on the 64x48 A/B scene
+        mod.DrawResult = lambda labels, dataID: np.zeros((4, 4, 3),
+                                                         np.float32)
+        records: list = []
+        orig_cal = mod.CalAccuracy
+
+        def recording_cal(pred, y):
+            out = orig_cal(pred, y)
+            records.append(out)
+            return out
+
+        mod.CalAccuracy = recording_cal
+
+        oa_a, oa_b, secs = [], [], []
+        for s in range(args.seeds):
+            records.clear()
+            mod.seed_torch(args.seed0 + s)
+            t0 = time.time()
+            mod.main(reference_args(args))
+            secs.append(time.time() - t0)
+            oa_a.append(float(records[0][0]) * 100)
+            if len(records) > 1:  # CCT evaluates a single network
+                oa_b.append(float(records[1][0]) * 100)
+            print(f"[ref {algo}] seed {args.seed0 + s}: "
+                  f"OA={oa_a[-1]:.2f}"
+                  + (f" OA1={oa_b[-1]:.2f}" if oa_b else "")
+                  + f" ({secs[-1]:.0f}s)", file=sys.stderr)
+        return {"oa_a": oa_a, "oa_b": oa_b, "sec_per_seed": secs}
+    finally:
+        os.chdir(cwd)
+
+
+def run_ours(algo: str, args, workdir: str, splits_dir: str) -> dict:
+    """Run cmlpl_tpu's CLI main N times on the identical scene+splits."""
+    from cmlpl_tpu.cli import train as cli_train
+    from cmlpl_tpu.cli import train_cct as cli_cct
+    from cmlpl_tpu.cli import train_cps as cli_cps
+
+    ours_dir = os.path.join(workdir, "ours")
+    os.makedirs(ours_dir, exist_ok=True)
+    cwd = os.getcwd()
+    os.chdir(ours_dir)
+    try:
+        oa_a, oa_b, secs = [], [], []
+        for s in range(args.seeds):
+            flags = [
+                "--dataID", "0", "--n_PC", "60", "--w", "20",
+                "--splits_dir", splits_dir,
+                "--num_label", str(args.num_label),
+                "--num_epochs", str(args.num_epochs),
+                "--labeled_batch_size", str(args.labeled_batch_size),
+                "--unlabeled_batch_size", str(args.unlabeled_batch_size),
+                "--num_unlabel", str(args.num_unlabel),
+                "--val_batch_size", str(args.val_batch_size),
+                "--dropout", str(args.dropout), "--lr", str(args.lr),
+                "--print_per_batches", "0",
+                "--seed", str(args.seed0 + s)]
+            t0 = time.time()
+            if algo == "cmlpl":
+                acc_a, acc_b = cli_train.main(flags)
+            elif algo == "cps":
+                acc_a, acc_b = cli_cps.main(flags)
+            else:
+                acc_a, acc_b = cli_cct.main(flags), None
+            secs.append(time.time() - t0)
+            oa_a.append(acc_a.oa * 100)
+            if acc_b is not None:
+                oa_b.append(acc_b.oa * 100)
+            print(f"[ours {algo}] seed {args.seed0 + s}: "
+                  f"OA={oa_a[-1]:.2f}"
+                  + (f" OA1={oa_b[-1]:.2f}" if oa_b else "")
+                  + f" ({secs[-1]:.0f}s)", file=sys.stderr)
+        return {"oa_a": oa_a, "oa_b": oa_b, "sec_per_seed": secs}
+    finally:
+        os.chdir(cwd)
+
+
+def materialize(args, workdir: str) -> str:
+    """Write the A/B scene in the reference's .npy layout; returns the
+    dataset dir both sides read."""
+    from cmlpl_tpu.cli.sample_generation import main as sample_main
+
+    data_root = os.path.join(workdir, "dataset")
+    sample_main(["--dataID", "0", "--num_label", str(args.num_label),
+                 "--w", "20", "--n_PC", "60", "--data_root", data_root,
+                 "--materialize_patches"])
+    # the reference hard-codes ./dataset/PaviaU/ for dataID 1 (the
+    # 9-class/103-band shape this synthetic scene matches)
+    pavia = os.path.join(data_root, "PaviaU")
+    if not os.path.exists(pavia):
+        os.symlink(os.path.join(data_root, "Synthetic"), pavia)
+    return pavia
+
+
+def verdict(ref: dict, ours: dict) -> dict:
+    """Mean-overlap check: |mean diff| within two sigmas of the
+    difference of means (floored at 1.0 OA point — n is small and the
+    5-shot task is high-variance by construction, SURVEY §7)."""
+    r = np.array(ref["oa_a"] + ref["oa_b"])
+    o = np.array(ours["oa_a"] + ours["oa_b"])
+    se = float(np.sqrt(r.var(ddof=1) / len(r) + o.var(ddof=1) / len(o))
+               if len(r) > 1 else 0.0)
+    diff = float(o.mean() - r.mean())
+    band = max(2.0 * se, 1.0)
+    return {
+        "ref_mean_oa": round(float(r.mean()), 2),
+        "ref_std_oa": round(float(r.std()), 2),
+        "ours_mean_oa": round(float(o.mean()), 2),
+        "ours_std_oa": round(float(o.std()), 2),
+        "mean_diff": round(diff, 2),
+        "band": round(band, 2),
+        "overlapping": bool(abs(diff) <= band),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--algos", nargs="+", default=["cmlpl", "cps", "cct"],
+                   choices=["cmlpl", "cps", "cct"])
+    p.add_argument("--seeds", type=int, default=3)
+    p.add_argument("--seed0", type=int, default=1088)
+    p.add_argument("--workdir", default="./refab")
+    p.add_argument("--num_label", type=int, default=5)
+    p.add_argument("--num_epochs", type=int, default=10)
+    p.add_argument("--labeled_batch_size", type=int, default=64)
+    p.add_argument("--unlabeled_batch_size", type=int, default=64)
+    p.add_argument("--num_unlabel", type=int, default=2048)
+    p.add_argument("--val_batch_size", type=int, default=512)
+    p.add_argument("--dropout", type=float, default=0.8)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--skip_ref", action="store_true")
+    p.add_argument("--skip_ours", action="store_true")
+    args = p.parse_args(argv)
+
+    workdir = os.path.abspath(args.workdir)
+    os.makedirs(workdir, exist_ok=True)
+    splits_dir = materialize(args, workdir)
+
+    results = {}
+    for algo in args.algos:
+        entry = {"algo": algo, "seeds": args.seeds,
+                 "schedule": {
+                     "num_epochs": args.num_epochs,
+                     "batch": [args.labeled_batch_size,
+                               args.unlabeled_batch_size],
+                     "num_unlabel": args.num_unlabel,
+                     "num_label": args.num_label}}
+        if not args.skip_ref:
+            entry["reference"] = run_reference(algo, args, workdir)
+        if not args.skip_ours:
+            entry["ours"] = run_ours(algo, args, workdir, splits_dir)
+        if "reference" in entry and "ours" in entry:
+            entry["verdict"] = verdict(entry["reference"], entry["ours"])
+        results[algo] = entry
+        print(json.dumps(entry))
+
+    out = os.path.join(workdir, "reference_ab.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {out}", file=sys.stderr)
+    return results
+
+
+if __name__ == "__main__":
+    main()

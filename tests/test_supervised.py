@@ -58,3 +58,51 @@ def test_ssftt_supervised_smoke():
     scene = prepare_scene(0, cube=cube, gt=gt, patch_size=13, n_pc=5)
     acc, history = _train_and_eval("ssftt", scene, 5, 13, epochs=4, scan_run=False)
     assert np.isfinite(float(history[-1]["cls_loss"]))
+
+
+def test_ema_teacher_tracks_reference_formula():
+    """--ema_teacher: the carried EMA copy equals the hand-replayed
+    E = B*(1-a) + E*a recursion over the per-step student params
+    (reference WeightEMA_BN, tools/models.py:155-164), and
+    eval_variables(ema=True) serves it."""
+    cube, gt = synthetic_scene(0, rows=24, cols=20)
+    scene = prepare_scene(0, cube=cube, gt=gt, patch_size=20, n_pc=8)
+    spec = get_dataset(0)
+    model, entry = build_model("basenet2", spec, 8)
+    splits = generate_splits(scene.labels, num_label=5)
+    alpha = 0.9
+    trainer = SupervisedTrainer(model, entry, patch_size=20, n_pc=8,
+                                num_features=spec.num_bands,
+                                ema_alpha=alpha, donate=False)
+    state = trainer.init_state(jax.random.key(0))
+
+    # replay: collect the student params after each of 3 steps
+    rng = np.random.default_rng(0)
+    expected = jax.device_get(
+        {"params": state.params, "batch_stats": state.batch_stats})
+    for _ in range(3):
+        li = rng.choice(splits.train, 16).astype(np.int32)
+        ly = (scene.labels[li] - 1).astype(np.int32)
+        state, _ = trainer.train_step(state, scene, li, ly)
+        student = jax.device_get(
+            {"params": state.params, "batch_stats": state.batch_stats})
+        expected = jax.tree_util.tree_map(
+            lambda b, e: b * (1 - alpha) + e * alpha, student, expected)
+
+    got = jax.device_get(state.ema)
+    jax.tree_util.tree_map(
+        lambda e, g: np.testing.assert_allclose(e, g, rtol=1e-5,
+                                                atol=1e-6),
+        expected, got)
+    ev = trainer.eval_variables(state, ema=True)
+    np.testing.assert_array_equal(
+        jax.device_get(ev["params"]["classifier"]["kernel"]),
+        got["params"]["classifier"]["kernel"])
+
+    # disabled => no EMA leaf, eval_variables(ema=True) refuses
+    t2 = SupervisedTrainer(model, entry, patch_size=20, n_pc=8,
+                           num_features=spec.num_bands, donate=False)
+    s2 = t2.init_state(jax.random.key(0))
+    assert s2.ema == ()
+    with pytest.raises(ValueError):
+        t2.eval_variables(s2, ema=True)
