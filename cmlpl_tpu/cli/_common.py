@@ -26,6 +26,12 @@ def base_parser() -> argparse.ArgumentParser:
     p.add_argument("--metrics_csv", type=str, default=None,
                    help="write the per-step training metrics history "
                         "(losses, accuracy, mask rate) to this CSV")
+    p.add_argument("--scene_npz", type=str, default=None,
+                   help="load the raw scene from this .npz "
+                        "(arrays 'cube' (rows, cols, bands) and 'gt' "
+                        "(rows, cols)) instead of the registry .mat "
+                        "files — bring-your-own-cube ingestion; dataID "
+                        "still supplies class count/bands/palette")
     p.add_argument("--splits_dir", type=str, default=None,
                    help="directory holding the reference's materialised "
                         "train_array.npy / test_array.npy / "
@@ -147,8 +153,12 @@ def setup_runtime(args) -> None:
 
 def build_data(args):
     spec = get_dataset(args.dataID)
+    cube = gt = None
+    if getattr(args, "scene_npz", None):
+        with np.load(args.scene_npz) as z:
+            cube, gt = z["cube"], z["gt"]
     scene = prepare_scene(spec, root=args.data_root, patch_size=args.w,
-                          n_pc=args.n_PC)
+                          n_pc=args.n_PC, cube=cube, gt=gt)
     if getattr(args, "splits_dir", None):
         from cmlpl_tpu.data import load_splits
 

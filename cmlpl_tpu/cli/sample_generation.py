@@ -28,12 +28,19 @@ def main(args=None):
     p.add_argument("--w", type=int, default=20)
     p.add_argument("--n_PC", type=int, default=60)
     p.add_argument("--data_root", type=str, default="./dataset")
+    p.add_argument("--scene_npz", type=str, default=None,
+                   help="load the raw scene from this .npz ('cube'/'gt' "
+                        "arrays) instead of the registry .mat files")
     p.add_argument("--materialize_patches", action="store_true",
                    help="also write the reference's XP.npy patch tensor")
     args = p.parse_args(args)
 
     spec = get_dataset(args.dataID)
-    cube, gt = load_scene(spec, args.data_root)
+    if args.scene_npz:
+        with np.load(args.scene_npz) as z:
+            cube, gt = z["cube"], z["gt"]
+    else:
+        cube, gt = load_scene(spec, args.data_root)
     rows, cols, bands = cube.shape
     flat = cube.reshape(rows * cols, bands)
 

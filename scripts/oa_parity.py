@@ -39,6 +39,11 @@ TOLERANCE = 0.3            # BASELINE.md parity band
 def run(argv=None) -> dict:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataID", type=str, default="1")
+    p.add_argument("--algo", type=str, default="cmlpl",
+                   choices=["cmlpl", "cps", "cct"],
+                   help="which training algorithm to sweep (the 94.36 "
+                        "target is CMLPL's; CPS/CCT sweeps memorialise "
+                        "their own distributions)")
     p.add_argument("--num_label", type=int, default=5)
     p.add_argument("--seeds", type=int, default=5)
     p.add_argument("--data_root", default="./dataset")
@@ -76,7 +81,8 @@ def run(argv=None) -> dict:
                                 prepare_scene)
     from cmlpl_tpu.eval import ScenePredictor, cal_accuracy
     from cmlpl_tpu.registry import get_dataset
-    from cmlpl_tpu.train import CMLPLConfig, CMLPLTrainer
+    from cmlpl_tpu.train import (CCTTrainer, CMLPLConfig, CMLPLTrainer,
+                                 CPSTrainer)
 
     spec = get_dataset(args.dataID)
     real = spec.cube_file is not None and os.path.exists(
@@ -100,13 +106,28 @@ def run(argv=None) -> dict:
         val_batch=args.val_batch_size, num_epochs=args.num_epochs,
         num_unlabel=args.num_unlabel, dropout=args.dropout,
         rng_impl=args.rng_impl, compute_dtype=args.compute_dtype)
-    trainer = CMLPLTrainer(cfg)
-    model = trainer.model
+    trainer = {"cmlpl": CMLPLTrainer, "cps": CPSTrainer,
+               "cct": CCTTrainer}[args.algo](cfg)
+    if args.algo == "cct":
+        encoder, head = trainer.encoder, trainer.head
 
-    def apply_b(params, xp, x):
-        return model.apply({"params": params}, xp, x, train=False)[0]
+        def apply_fn(params, xp, x):
+            fea, _ = encoder.apply({"params": params["encoder"]}, xp, x,
+                                   train=False)
+            return head.apply({"params": params["dec_base"]}, fea)
 
-    predictor = ScenePredictor(apply_b, patch_size=cfg.patch_size,
+        def eval_params(state):  # one network (CCT_test_whole)
+            return [state.params]
+    else:
+        model = trainer.model
+
+        def apply_fn(params, xp, x):
+            return model.apply({"params": params}, xp, x, train=False)[0]
+
+        def eval_params(state):  # both networks (train.py:291-299)
+            return [state.net_b.params, state.net_e.params]
+
+    predictor = ScenePredictor(apply_fn, patch_size=cfg.patch_size,
                                cols=scene.cols, tile=cfg.val_batch,
                                gather=args.eval_gather)
     y_test = scene.labels[splits.test] - 1
@@ -120,19 +141,21 @@ def run(argv=None) -> dict:
         state = trainer.init_state(jax.random.fold_in(
             jax.random.key(cfg.seed, impl=args.rng_impl), seed))
         state, _ = trainer.train_run(state, scene, sampler)
-        acc_b = cal_accuracy(predictor(state.net_b.params, scene)
-                             [splits.test], y_test)
-        acc_e = cal_accuracy(predictor(state.net_e.params, scene)
-                             [splits.test], y_test)
-        oa_b.append(acc_b.oa * 100)
-        oa_e.append(acc_e.oa * 100)
-        print(f"seed {seed}: OA_B={oa_b[-1]:.2f} OA_E={oa_e[-1]:.2f} "
-              f"({time.time() - t0:.1f}s)", file=sys.stderr)
+        accs = [cal_accuracy(predictor(p, scene)[splits.test], y_test)
+                for p in eval_params(state)]
+        oa_b.append(accs[0].oa * 100)
+        if len(accs) > 1:
+            oa_e.append(accs[1].oa * 100)
+        print(f"seed {seed}: " + " ".join(
+            f"OA_{n}={a.oa * 100:.2f}" for n, a in zip("BE", accs))
+            + f" ({time.time() - t0:.1f}s)", file=sys.stderr)
 
     oa = np.array(oa_b)
-    target = REFERENCE_OA.get(spec.data_id)
+    target = (REFERENCE_OA.get(spec.data_id)
+              if args.algo == "cmlpl" else None)
     result = {
         "metric": "oa_parity",
+        "algo": args.algo,
         "dataset": spec.name,
         "knobs": {"rng_impl": args.rng_impl,
                   "compute_dtype": args.compute_dtype,

@@ -176,7 +176,8 @@ def run_reference(algo: str, args, workdir: str) -> dict:
         os.chdir(cwd)
 
 
-def run_ours(algo: str, args, workdir: str, splits_dir: str) -> dict:
+def run_ours(algo: str, args, workdir: str, splits_dir: str,
+             scene_npz: str) -> dict:
     """Run cmlpl_tpu's CLI main N times on the identical scene+splits."""
     from cmlpl_tpu.cli import train as cli_train
     from cmlpl_tpu.cli import train_cct as cli_cct
@@ -191,6 +192,7 @@ def run_ours(algo: str, args, workdir: str, splits_dir: str) -> dict:
         for s in range(args.seeds):
             flags = [
                 "--dataID", "0", "--n_PC", "60", "--w", "20",
+                "--scene_npz", scene_npz,
                 "--splits_dir", splits_dir,
                 "--num_label", str(args.num_label),
                 "--num_epochs", str(args.num_epochs),
@@ -221,21 +223,30 @@ def run_ours(algo: str, args, workdir: str, splits_dir: str) -> dict:
         os.chdir(cwd)
 
 
-def materialize(args, workdir: str) -> str:
-    """Write the A/B scene in the reference's .npy layout; returns the
-    dataset dir both sides read."""
+def materialize(args, workdir: str):
+    """Generate the A/B scene (hard recipe: both implementations land
+    mid-range OA where algorithmic differences show — the default
+    synthetic scene saturates both sides at 100.00) and write it in the
+    reference's .npy layout; returns (dataset dir, scene npz path)."""
     from cmlpl_tpu.cli.sample_generation import main as sample_main
+    from cmlpl_tpu.data import synthetic_scene
+
+    cube, gt = synthetic_scene(0, rows=args.rows, cols=args.cols,
+                               noise_std=args.noise_std,
+                               class_sep=args.class_sep)
+    scene_npz = os.path.join(workdir, "scene.npz")
+    np.savez(scene_npz, cube=cube, gt=gt)
 
     data_root = os.path.join(workdir, "dataset")
     sample_main(["--dataID", "0", "--num_label", str(args.num_label),
                  "--w", "20", "--n_PC", "60", "--data_root", data_root,
-                 "--materialize_patches"])
+                 "--scene_npz", scene_npz, "--materialize_patches"])
     # the reference hard-codes ./dataset/PaviaU/ for dataID 1 (the
     # 9-class/103-band shape this synthetic scene matches)
     pavia = os.path.join(data_root, "PaviaU")
     if not os.path.exists(pavia):
         os.symlink(os.path.join(data_root, "Synthetic"), pavia)
-    return pavia
+    return pavia, scene_npz
 
 
 def verdict(ref: dict, ours: dict) -> dict:
@@ -274,13 +285,19 @@ def main(argv=None):
     p.add_argument("--val_batch_size", type=int, default=512)
     p.add_argument("--dropout", type=float, default=0.8)
     p.add_argument("--lr", type=float, default=5e-4)
+    # hard-scene recipe (same knobs as scripts/compare_methods.py): the
+    # default synthetic scene saturates both sides at OA 100.00
+    p.add_argument("--rows", type=int, default=64)
+    p.add_argument("--cols", type=int, default=48)
+    p.add_argument("--noise_std", type=float, default=1.2)
+    p.add_argument("--class_sep", type=float, default=0.35)
     p.add_argument("--skip_ref", action="store_true")
     p.add_argument("--skip_ours", action="store_true")
     args = p.parse_args(argv)
 
     workdir = os.path.abspath(args.workdir)
     os.makedirs(workdir, exist_ok=True)
-    splits_dir = materialize(args, workdir)
+    splits_dir, scene_npz = materialize(args, workdir)
 
     results = {}
     for algo in args.algos:
@@ -290,11 +307,15 @@ def main(argv=None):
                      "batch": [args.labeled_batch_size,
                                args.unlabeled_batch_size],
                      "num_unlabel": args.num_unlabel,
-                     "num_label": args.num_label}}
+                     "num_label": args.num_label},
+                 "scene": {"rows": args.rows, "cols": args.cols,
+                           "noise_std": args.noise_std,
+                           "class_sep": args.class_sep}}
         if not args.skip_ref:
             entry["reference"] = run_reference(algo, args, workdir)
         if not args.skip_ours:
-            entry["ours"] = run_ours(algo, args, workdir, splits_dir)
+            entry["ours"] = run_ours(algo, args, workdir, splits_dir,
+                                     scene_npz)
         if "reference" in entry and "ours" in entry:
             entry["verdict"] = verdict(entry["reference"], entry["ours"])
         results[algo] = entry
