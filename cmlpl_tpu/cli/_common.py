@@ -72,12 +72,16 @@ def base_parser() -> argparse.ArgumentParser:
                         "(measured 1.48x faster scene maps; patch inputs "
                         "bf16-quantised)")
     p.add_argument("--gather_impl", type=str, default="xla",
-                   choices=["xla", "pallas", "pallas_bf16"],
+                   choices=["xla", "pallas", "pallas_bf16", "pool"],
                    help="training patch-gather: XLA dynamic-slice "
                         "(default, reference numerics), Pallas DMA from "
-                        "a lane-padded f32 cube, or Pallas DMA from a "
+                        "a lane-padded f32 cube, Pallas DMA from a "
                         "bf16 cube (half the DMA bytes; patches upcast "
-                        "to f32 after the gather). Single-chip only.")
+                        "to f32 after the gather) — both single-chip "
+                        "only — or 'pool' (CMLPL trainer: pre-gather "
+                        "the ~10k-pixel training pool once per dispatch "
+                        "into ~1 GB HBM, per-step gather becomes a row "
+                        "take; numerically identical to xla)")
     p.add_argument("--extra_loss", type=str, default="",
                    choices=["", "memobank", "mmd", "ntxent"],
                    help="opt-in extra objective (CMLPL trainer): U2PL "

@@ -226,7 +226,8 @@ def check_gather_mesh(gather_impl: str, mesh) -> None:
     """pallas_call can't be GSPMD-partitioned (multi-chip inference uses
     shard_map instead, eval/inference.py); the training steps are
     GSPMD-jitted, so the Pallas gather knobs are single-chip only."""
-    if gather_impl != "xla" and mesh is not None and mesh.size > 1:
+    if gather_impl not in ("xla", "pool") and mesh is not None \
+            and mesh.size > 1:
         raise ValueError(
             f"gather_impl={gather_impl!r} requires a single-device mesh "
             f"(got {mesh.size} devices); use gather_impl='xla' for "
@@ -277,6 +278,11 @@ def make_train_gather(gather_impl: str, n_pc: int):
 
         return prep_cube, gather
 
+    if gather_impl == "pool":
+        raise ValueError(
+            "gather_impl='pool' (pre-gathered training pool) is handled "
+            "inside CMLPLTrainer._build_step, not by make_train_gather; "
+            "the other trainers gather per step")
     if gather_impl != "pallas":
         raise ValueError(f"unknown gather_impl {gather_impl!r}")
 

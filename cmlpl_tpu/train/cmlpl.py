@@ -186,7 +186,28 @@ class CMLPLTrainer(EpochDriver):
 
         from cmlpl_tpu.ops.patch_gather import make_train_gather
 
-        prep_cube, gather_xp = make_train_gather(cfg.gather_impl, cfg.n_pc)
+        pool_mode = cfg.gather_impl == "pool"
+        if pool_mode:
+            # pre-gathered-pool mode: one bulk windowed gather of the
+            # ~10,045 unique training pixels per DISPATCH (~0.97 GB HBM
+            # at the reference schedule), then every step's "gather" is a
+            # contiguous row-take by pool position — attacks the ~30%
+            # per-step windowed-DMA share of the fused-run profile
+            # (replaces the reference's materialise-everything design,
+            # hyper_tools.py:226-243, without the 18.5 GiB all-pixels
+            # tensor).  step() is unchanged: it receives the pooled
+            # patches/spectra as its cube/spectra args and positions as
+            # its index args.
+            _, bulk_gather = make_train_gather("xla", cfg.n_pc)
+
+            def prep_cube(padded):
+                return padded
+
+            def gather_xp(pooled, pos, cols, w):
+                return jnp.take(pooled, pos, axis=0)
+        else:
+            prep_cube, gather_xp = make_train_gather(cfg.gather_impl,
+                                                     cfg.n_pc)
 
         def step(state: CMLPLTrainState, padded, spectra, lab_idx, lab_y,
                  unl_idx, adap_mask_thr, warm,
@@ -381,17 +402,13 @@ class CMLPLTrainer(EpochDriver):
             )
             return new_state, metrics
 
-        def step_entry(state, padded, spectra, lab_idx, lab_y, unl_idx,
-                       adap_mask_thr, warm, cols):
-            return step(state, prep_cube(padded), spectra, lab_idx, lab_y,
-                        unl_idx, adap_mask_thr, warm, cols)
-
         def epoch_scan(state, prepped, spectra, lab_idx, lab_y, unl_idx,
                        adap_mask_thr, epoch_gt0, cols):
             """A whole epoch as one lax.scan: identical math to the
             per-step path (same rng threading), one dispatch instead of
             ~79 — per-step host dispatch over a remote TPU link costs more
-            than the step's compute.  ``prepped`` = prep_cube(padded)."""
+            than the step's compute.  ``prepped`` = prep_cube(padded)
+            (or the pooled patch tensor in pool mode)."""
 
             def body(carry, inputs):
                 i, li, ly, ui = inputs
@@ -403,20 +420,13 @@ class CMLPLTrainer(EpochDriver):
             steps = jnp.arange(n, dtype=jnp.int32)
             return lax.scan(body, state, (steps, lab_idx, lab_y, unl_idx))
 
-        def epoch_fn(state, padded, spectra, lab_idx, lab_y, unl_idx,
-                     adap_mask_thr, epoch_gt0, cols):
-            return epoch_scan(state, prep_cube(padded), spectra, lab_idx,
-                              lab_y, unl_idx, adap_mask_thr, epoch_gt0,
-                              cols)
-
-        def run_fn(state, padded, spectra, lab_idx, lab_y, unl_idx,
-                   adap_per_epoch, cols):
+        def run_core(state, prepped, spectra, lab_idx, lab_y, unl_idx,
+                     adap_per_epoch, cols):
             """The ENTIRE training run as one dispatch: scan over epochs
             of scans over steps.  Batch arrays are (E, N, B); the
             per-epoch adaptive threshold comes in as an (E,) array and
             the warmup flag is computed from the epoch/step counters —
             identical math to fit()'s per-epoch path."""
-            prepped = prep_cube(padded)
 
             def epoch_body(carry, xs):
                 e_idx, li_e, ly_e, ui_e, adap_e = xs
@@ -428,6 +438,83 @@ class CMLPLTrainer(EpochDriver):
             return lax.scan(epoch_body, state,
                             (epochs, lab_idx, lab_y, unl_idx,
                              adap_per_epoch))
+
+        if pool_mode:
+            # entry fns take the extra (P,) pool_idx of unique pixel ids;
+            # the bulk gather + spectra pooling runs ONCE per dispatch
+            # and the scans index rows by pool position
+            def pool_inputs(padded, spectra, pool_idx, cols):
+                xp_pool = bulk_gather(padded, pool_idx, cols,
+                                      cfg.patch_size)
+                return xp_pool, jnp.take(spectra, pool_idx, axis=0)
+
+            def step_entry(state, padded, spectra, pool_idx, lab_idx,
+                           lab_y, unl_idx, adap_mask_thr, warm, cols):
+                xp_pool, x_pool = pool_inputs(padded, spectra, pool_idx,
+                                              cols)
+                return step(state, xp_pool, x_pool, lab_idx, lab_y,
+                            unl_idx, adap_mask_thr, warm, cols)
+
+            def epoch_fn(state, padded, spectra, pool_idx, lab_idx, lab_y,
+                         unl_idx, adap_mask_thr, epoch_gt0, cols):
+                xp_pool, x_pool = pool_inputs(padded, spectra, pool_idx,
+                                              cols)
+                return epoch_scan(state, xp_pool, x_pool, lab_idx, lab_y,
+                                  unl_idx, adap_mask_thr, epoch_gt0, cols)
+
+            def run_fn(state, padded, spectra, pool_idx, lab_idx, lab_y,
+                       unl_idx, adap_per_epoch, cols):
+                xp_pool, x_pool = pool_inputs(padded, spectra, pool_idx,
+                                              cols)
+                return run_core(state, xp_pool, x_pool, lab_idx, lab_y,
+                                unl_idx, adap_per_epoch, cols)
+
+            if self.mesh is not None:
+                repl = NamedSharding(self.mesh, P())
+                batch_sh = NamedSharding(self.mesh, P("data"))
+                epoch_sh = NamedSharding(self.mesh, P(None, "data"))
+                run_sh = NamedSharding(self.mesh, P(None, None, "data"))
+                state_sh = self._state_sh
+                return (
+                    jax.jit(step_entry, static_argnums=(9,),
+                            in_shardings=(state_sh, repl, repl, repl,
+                                          batch_sh, batch_sh, batch_sh,
+                                          repl, repl),
+                            out_shardings=(state_sh, repl),
+                            donate_argnums=self._donate),
+                    jax.jit(epoch_fn, static_argnums=(9,),
+                            in_shardings=(state_sh, repl, repl, repl,
+                                          epoch_sh, epoch_sh, epoch_sh,
+                                          repl, repl),
+                            out_shardings=(state_sh, repl),
+                            donate_argnums=self._donate),
+                    jax.jit(run_fn, static_argnums=(8,),
+                            in_shardings=(state_sh, repl, repl, repl,
+                                          run_sh, run_sh, run_sh, repl),
+                            out_shardings=(state_sh, repl),
+                            donate_argnums=self._donate))
+            return (jax.jit(step_entry, static_argnums=(9,),
+                            donate_argnums=self._donate),
+                    jax.jit(epoch_fn, static_argnums=(9,),
+                            donate_argnums=self._donate),
+                    jax.jit(run_fn, static_argnums=(8,),
+                            donate_argnums=self._donate))
+
+        def step_entry(state, padded, spectra, lab_idx, lab_y, unl_idx,
+                       adap_mask_thr, warm, cols):
+            return step(state, prep_cube(padded), spectra, lab_idx, lab_y,
+                        unl_idx, adap_mask_thr, warm, cols)
+
+        def epoch_fn(state, padded, spectra, lab_idx, lab_y, unl_idx,
+                     adap_mask_thr, epoch_gt0, cols):
+            return epoch_scan(state, prep_cube(padded), spectra, lab_idx,
+                              lab_y, unl_idx, adap_mask_thr, epoch_gt0,
+                              cols)
+
+        def run_fn(state, padded, spectra, lab_idx, lab_y, unl_idx,
+                   adap_per_epoch, cols):
+            return run_core(state, prep_cube(padded), spectra, lab_idx,
+                            lab_y, unl_idx, adap_per_epoch, cols)
 
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
@@ -472,6 +559,22 @@ class CMLPLTrainer(EpochDriver):
         cfg = self.config
         return float(np.exp(-0.5 * (epoch / cfg.num_epochs) ** 2)) * cfg.thr
 
+    @staticmethod
+    def _poolify(lab_idx, unl_idx):
+        """Pool mode: the dispatch's unique pixel ids + the batches
+        re-expressed as positions into that pool.  The pool size is
+        stable across whole-run dispatches (labeled split + truncated
+        unlabeled pool, ~10,045 at the reference schedule), so the graph
+        compiles once; per-STEP use recompiles when the unique count
+        changes — pool mode is meant for the fused epoch/run paths."""
+        li = np.asarray(lab_idx)
+        ui = np.asarray(unl_idx)
+        pool, inv = np.unique(np.concatenate([li.ravel(), ui.ravel()]),
+                              return_inverse=True)
+        li_pos = inv[:li.size].reshape(li.shape).astype(np.int32)
+        ui_pos = inv[li.size:].reshape(ui.shape).astype(np.int32)
+        return pool.astype(np.int32), li_pos, ui_pos
+
     def train_step(self, state, scene: PreparedScene, lab_idx, lab_y,
                    unl_idx, epoch: int, batch_index: int):
         """One optimisation step.  ``epoch``/``batch_index`` drive the
@@ -480,12 +583,18 @@ class CMLPLTrainer(EpochDriver):
         cfg = self.config
         warm = bool(epoch > 0 or batch_index > cfg.queue_batch)
         b = P("data")
+        args = [self._put(np.asarray(lab_idx), b),
+                self._put(np.asarray(lab_y), b),
+                self._put(np.asarray(unl_idx), b)]
+        pool = []
+        if cfg.gather_impl == "pool":
+            p, li_p, ui_p = self._poolify(lab_idx, unl_idx)
+            pool = [self._put(p, P())]
+            args[0] = self._put(li_p, b)
+            args[2] = self._put(ui_p, b)
         return self._step_fn(
             state, self._put(scene.padded_pca, P()),
-            self._put(scene.spectra, P()),
-            self._put(np.asarray(lab_idx), b),
-            self._put(np.asarray(lab_y), b),
-            self._put(np.asarray(unl_idx), b),
+            self._put(scene.spectra, P()), *pool, *args,
             self._put(np.float32(self._adaptive_thr(epoch)), P()),
             self._put(np.asarray(warm), P()),
             scene.cols)
@@ -494,13 +603,20 @@ class CMLPLTrainer(EpochDriver):
                     unl_idx, epoch: int):
         """One epoch in a single dispatch.  Batch arrays are stacked
         (num_batches, batch); returns (state, metrics-of-arrays)."""
+        cfg = self.config
         e = P(None, "data")
+        args = [self._put(np.asarray(lab_idx), e),
+                self._put(np.asarray(lab_y), e),
+                self._put(np.asarray(unl_idx), e)]
+        pool = []
+        if cfg.gather_impl == "pool":
+            p, li_p, ui_p = self._poolify(lab_idx, unl_idx)
+            pool = [self._put(p, P())]
+            args[0] = self._put(li_p, e)
+            args[2] = self._put(ui_p, e)
         return self._epoch_fn(
             state, self._put(scene.padded_pca, P()),
-            self._put(scene.spectra, P()),
-            self._put(np.asarray(lab_idx), e),
-            self._put(np.asarray(lab_y), e),
-            self._put(np.asarray(unl_idx), e),
+            self._put(scene.spectra, P()), *pool, *args,
             self._put(np.float32(self._adaptive_thr(epoch)), P()),
             self._put(np.asarray(epoch > 0), P()), scene.cols)
 
@@ -515,10 +631,16 @@ class CMLPLTrainer(EpochDriver):
         adap = np.asarray([self._adaptive_thr(e)
                            for e in range(cfg.num_epochs)], np.float32)
         r = P(None, None, "data")
+        args = [self._put(li, r), self._put(ly, r), self._put(ui, r)]
+        pool = []
+        if cfg.gather_impl == "pool":
+            p, li_p, ui_p = self._poolify(li, ui)
+            pool = [self._put(p, P())]
+            args[0] = self._put(li_p, r)
+            args[2] = self._put(ui_p, r)
         return self._run_fn(
             state, self._put(scene.padded_pca, P()),
-            self._put(scene.spectra, P()),
-            self._put(li, r), self._put(ly, r), self._put(ui, r),
+            self._put(scene.spectra, P()), *pool, *args,
             self._put(adap, P()), scene.cols)
 
     # -- EpochDriver adapters: thread the epoch through for the adaptive

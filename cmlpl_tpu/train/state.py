@@ -50,6 +50,11 @@ class CMLPLConfig:
     #                 patches upcast to f32 after the gather, so all
     #                 training math stays f32 — only the patch INPUT
     #                 precision changes)
+    #   "pool"        (CMLPL trainer only) bulk-gather the unique training
+    #                 pool once per dispatch (~10,045 patches ~ 0.97 GB
+    #                 HBM at the reference schedule); in-scan gathers
+    #                 become contiguous row takes.  Numerically identical
+    #                 to "xla" (same patch values, same math).
     gather_impl: str = "xla"
     # opt-in objectives the reference imports but never invokes
     # (loss_helper.py, models.py:14-39, the missing `regularizer` module):

@@ -10,6 +10,9 @@ wall time (device->host sync, see bench.py) of the gather_impl knob:
   pallas       Pallas DMA, f32 cube lane-padded (expected loser, recorded)
   pallas_bf16  Pallas DMA, bf16 cube (half the DMA bytes vs pallas;
                patches upcast to f32 after the gather)
+  pool         pre-gather the unique ~10,045-pixel training pool once per
+               dispatch (~0.97 GB HBM); in-scan gathers become contiguous
+               row takes (VERDICT r2 item 2; numerically identical to xla)
 
 Same scene/schedule as bench.py (PaviaU-shaped, 20 epochs x 78 steps,
 batch 128+128).  Prints one JSON line per impl.
@@ -35,7 +38,7 @@ ROWS, COLS = 610, 340
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--impls", nargs="+",
-                   default=["xla", "pallas", "pallas_bf16"])
+                   default=["xla", "pallas", "pallas_bf16", "pool"])
     p.add_argument("--no_mesh", action="store_true",
                    help="trainer without a mesh (bench.py uses a "
                         "1-device mesh)")

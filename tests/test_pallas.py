@@ -166,6 +166,46 @@ def test_cps_cct_step_with_pallas_bf16_gather(tiny_scene, tiny_splits):
                                    rtol=2e-2, err_msg=cls.__name__)
 
 
+def test_cmlpl_pool_gather_matches_xla(tiny_scene, tiny_splits):
+    """gather_impl='pool' (pre-gathered training pool, VERDICT r2 #2) is
+    numerically identical to the default per-step xla gather: same patch
+    values reach the same math, for both a single step and the fused
+    whole run."""
+    import jax
+
+    from cmlpl_tpu.data import SemiSupervisedSampler
+    from cmlpl_tpu.train import CMLPLConfig, CMLPLTrainer
+
+    scene = tiny_scene
+    kw = dict(num_classes=9, num_features=103, n_pc=scene.n_pc,
+              patch_size=scene.patch_size, labeled_batch=8,
+              unlabeled_batch=8, num_unlabel=32, num_epochs=2)
+    li = tiny_splits.train[:8].astype(np.int32)
+    ly = (scene.labels[li] - 1).astype(np.int32)
+    ui = tiny_splits.unlabeled[:8].astype(np.int32)
+
+    step_m, run_m = {}, {}
+    for impl in ["xla", "pool"]:
+        trainer = CMLPLTrainer(CMLPLConfig(gather_impl=impl, **kw),
+                               donate=False)
+        state = trainer.init_state(jax.random.key(0))
+        _, m = trainer.train_step(state, scene, li, ly, ui,
+                                  epoch=0, batch_index=0)
+        step_m[impl] = {k: float(v) for k, v in m.items()}
+        sampler = SemiSupervisedSampler(
+            tiny_splits, scene.labels, 8, 8, num_unlabel=32)
+        state = trainer.init_state(jax.random.key(0))
+        _, mm = trainer.train_run(state, scene, sampler)
+        run_m[impl] = {k: np.asarray(v) for k, v in mm.items()}
+
+    for k in step_m["xla"]:
+        np.testing.assert_allclose(step_m["pool"][k], step_m["xla"][k],
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    for k in run_m["xla"]:
+        np.testing.assert_allclose(run_m["pool"][k], run_m["xla"][k],
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+
 def test_shifted_gather_fuzz_geometries(rng):
     """Randomised scene/patch geometries vs the quantised oracle."""
     from cmlpl_tpu.ops.patch_gather import (build_shifted_cube_bf16,
