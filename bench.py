@@ -44,6 +44,53 @@ BASELINE_DERIVATION = (
 # PaviaU dims (registry dataID 1): 610 x 340 x 103, 9 classes
 ROWS, COLS = 610, 340
 
+# v5e peak: 197 TFLOP/s bf16 MXU (f32 matmuls run below that; training
+# defaults to f32 for reference numerics, so peak_fraction is an upper
+# bound on how compute-bound we could possibly be)
+V5E_PEAK_TFLOPS_BF16 = 197.0
+
+
+def flops_per_step(cfg) -> float:
+    """Analytic FLOP count of one CMLPL step (the roofline numerator).
+
+    Two BaseNet2 fwd+bwd on (labeled+unlabeled) patches (models.py:97-152
+    topology: 1x1 conv 60->64 @wxw, 3x3 conv @wxw, 3x3 conv @(w/2)^2,
+    bands->1024 linear, 2624->classes linear; bwd ~= 2x fwd) plus the
+    queue-smoothing and contrastive-graph matmuls (train.py:213-219,
+    246-258)."""
+    w = cfg.patch_size
+    b = cfg.labeled_batch + cfg.unlabeled_batch
+    bu = cfg.unlabeled_batch
+    conv0 = 2 * cfg.n_pc * 64 * w * w
+    conv1 = 2 * (9 * 64) * 64 * w * w
+    conv2 = 2 * (9 * 64) * 64 * (w // 2) ** 2
+    feat = 2 * cfg.num_features * cfg.feat_dim
+    cls = 2 * 2624 * cfg.num_classes
+    fwd = conv0 + conv1 + conv2 + feat + cls
+    nets = 2 * 3 * fwd * b                      # 2 nets, fwd + 2x for bwd
+    queue = 2 * (2 * bu * cfg.queue_size * cfg.feat_dim
+                 + 2 * bu * cfg.queue_size * cfg.num_classes)
+    graph = 3 * 2 * bu * bu * cfg.feat_dim      # sim, sim1 (+grad reuse)
+    return float(nets + queue + graph)
+
+
+def hbm_bytes_per_step(cfg) -> float:
+    """Approximate HBM traffic of one step (the roofline denominator):
+    patch gather reads from the padded cube, the 8 Gaussian-noise view
+    writes+reads (train.py:157-184), params + Adam moments read/write
+    (~2.8 M params x (read grad-compute + 3x optimizer state traffic)),
+    and queue reads for the smoothing matmuls."""
+    w = cfg.patch_size
+    b = cfg.labeled_batch + cfg.unlabeled_batch
+    patch = b * cfg.n_pc * w * w * 4            # gather output
+    views = 4 * patch * 2                       # 4 noised copies, w+r
+    n_params = 2 * (64 * cfg.n_pc + 2 * 9 * 64 * 64
+                    + cfg.num_features * cfg.feat_dim
+                    + 2624 * cfg.num_classes)
+    params = n_params * 4 * 6                   # p, g, m, v read+write
+    queue = 2 * cfg.queue_size * (cfg.feat_dim + cfg.num_classes) * 4 * 2
+    return float(patch + views + params + queue)
+
 
 def main() -> None:
     from cmlpl_tpu.core.mesh import create_mesh
@@ -62,8 +109,12 @@ def main() -> None:
     scene = prepare_scene(spec, cube=cube, gt=gt, patch_size=20, n_pc=60)
     splits = generate_splits(scene.labels, num_label=5)
 
+    # pool gather: pre-gather the ~10,045-pixel training pool once per
+    # dispatch; numerically IDENTICAL to the per-step xla gather (pinned
+    # by tests/test_pallas.py) and measured +22.6% throughput
+    # (scripts/ab_gather.py r3: 2.373 -> 1.935 s fused run)
     cfg = CMLPLConfig(num_classes=spec.num_classes,
-                      num_features=spec.num_bands)
+                      num_features=spec.num_bands, gather_impl="pool")
     sampler = SemiSupervisedSampler(splits, scene.labels,
                                     cfg.labeled_batch, cfg.unlabeled_batch,
                                     num_unlabel=cfg.num_unlabel)
@@ -84,17 +135,30 @@ def main() -> None:
     state, metrics = trainer.train_run(state, scene, sampler)
     sync(metrics)
 
+    # >= 3 timed in-process repeats: cross-process variance is ±8% on the
+    # tunneled chip, so single measurements make round-over-round deltas
+    # uninterpretable; min is the headline (least-noise estimate), mean
+    # and all repeats are recorded
     steps = cfg.num_epochs * (cfg.num_unlabel // cfg.labeled_batch)
-    state = trainer.init_state(jax.random.key(1, impl="rbg"))
-    t0 = time.perf_counter()
-    state, metrics = trainer.train_run(state, scene, sampler)
-    final_acc = sync(metrics)
-    dt = time.perf_counter() - t0
+    repeats = []
+    final_acc = 0.0
+    for r in range(3):
+        state = trainer.init_state(jax.random.key(1 + r, impl="rbg"))
+        t0 = time.perf_counter()
+        state, metrics = trainer.train_run(state, scene, sampler)
+        final_acc = sync(metrics)
+        repeats.append(time.perf_counter() - t0)
+    dt = min(repeats)
     steps_per_sec = steps / dt
     patches_per_sec = steps_per_sec * (cfg.labeled_batch
                                        + cfg.unlabeled_batch)
     n_chips = jax.device_count()
     pps_per_chip = patches_per_sec / n_chips
+
+    # roofline: how far from the hardware ceiling, and what binds
+    fstep = flops_per_step(cfg)
+    achieved_tflops = fstep * steps_per_sec / 1e12 / n_chips
+    hbm_gbps = hbm_bytes_per_step(cfg) * steps_per_sec / 1e9 / n_chips
 
     # full-scene inference latency (207,400 pixels), target < 5 s
     model = trainer.model
@@ -128,6 +192,26 @@ def main() -> None:
         "extra": {
             "steps_per_sec": round(steps_per_sec, 2),
             "full_20epoch_train_sec": round(dt, 3),
+            "train_sec_repeats": [round(r, 3) for r in repeats],
+            "train_sec_mean": round(float(np.mean(repeats)), 3),
+            "roofline": {
+                "flops_per_step": round(fstep / 1e9, 2),
+                "flops_unit": "GFLOP/step (analytic, bench.flops_per_step)",
+                "achieved_tflops_per_chip": round(achieved_tflops, 2),
+                "v5e_peak_tflops_bf16": V5E_PEAK_TFLOPS_BF16,
+                "peak_fraction": round(
+                    achieved_tflops / V5E_PEAK_TFLOPS_BF16, 4),
+                "hbm_gb_per_sec_est": round(hbm_gbps, 1),
+                "bound": (
+                    "not MXU-bound: the r3 pool gather removed the "
+                    "per-patch windowed-DMA share that dominated the r2 "
+                    "profile (docs/BENCHMARKS.md); the remainder is "
+                    "elementwise Gaussian-noise view generation, "
+                    "queue/graph ops, and small-spatial convs that do "
+                    "not saturate the MXU at this 20x20x60 model scale "
+                    "(f32 reference numerics; bf16 compute is an "
+                    "opt-in +12%)"),
+            },
             "full_scene_paviau_sec": round(scene_sec, 3),
             "full_scene_paviau_bf16_gather_sec": round(scene_bf16_sec, 3),
             "bf16_gather_prediction_agreement": round(bf16_agree, 5),

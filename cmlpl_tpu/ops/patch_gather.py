@@ -234,6 +234,25 @@ def check_gather_mesh(gather_impl: str, mesh) -> None:
             "multi-chip training")
 
 
+def poolify_batches(lab_idx, unl_idx):
+    """Pool-mode host prep: a dispatch's unique pixel ids + the batch
+    index arrays re-expressed as positions into that pool.
+
+    The pool size is stable across whole-run dispatches (labeled split +
+    truncated unlabeled pool, ~10,045 at the reference schedule), so the
+    graph compiles once; per-STEP use recompiles when the unique count
+    changes — pool mode is meant for the fused epoch/run paths."""
+    import numpy as np
+
+    li = np.asarray(lab_idx)
+    ui = np.asarray(unl_idx)
+    pool, inv = np.unique(np.concatenate([li.ravel(), ui.ravel()]),
+                          return_inverse=True)
+    li_pos = inv[:li.size].reshape(li.shape).astype(np.int32)
+    ui_pos = inv[li.size:].reshape(ui.shape).astype(np.int32)
+    return pool.astype(np.int32), li_pos, ui_pos
+
+
 def make_train_gather(gather_impl: str, n_pc: int):
     """(prep_cube, gather) pair implementing the training gather knob
     (``CMLPLConfig.gather_impl``) for any trainer's fused step.
@@ -281,8 +300,8 @@ def make_train_gather(gather_impl: str, n_pc: int):
     if gather_impl == "pool":
         raise ValueError(
             "gather_impl='pool' (pre-gathered training pool) is handled "
-            "inside CMLPLTrainer._build_step, not by make_train_gather; "
-            "the other trainers gather per step")
+            "inside the CMLPL/CPS/CCT trainers' _build_step, not by "
+            "make_train_gather")
     if gather_impl != "pallas":
         raise ValueError(f"unknown gather_impl {gather_impl!r}")
 

@@ -561,19 +561,9 @@ class CMLPLTrainer(EpochDriver):
 
     @staticmethod
     def _poolify(lab_idx, unl_idx):
-        """Pool mode: the dispatch's unique pixel ids + the batches
-        re-expressed as positions into that pool.  The pool size is
-        stable across whole-run dispatches (labeled split + truncated
-        unlabeled pool, ~10,045 at the reference schedule), so the graph
-        compiles once; per-STEP use recompiles when the unique count
-        changes — pool mode is meant for the fused epoch/run paths."""
-        li = np.asarray(lab_idx)
-        ui = np.asarray(unl_idx)
-        pool, inv = np.unique(np.concatenate([li.ravel(), ui.ravel()]),
-                              return_inverse=True)
-        li_pos = inv[:li.size].reshape(li.shape).astype(np.int32)
-        ui_pos = inv[li.size:].reshape(ui.shape).astype(np.int32)
-        return pool.astype(np.int32), li_pos, ui_pos
+        from cmlpl_tpu.ops.patch_gather import poolify_batches
+
+        return poolify_batches(lab_idx, unl_idx)
 
     def train_step(self, state, scene: PreparedScene, lab_idx, lab_y,
                    unl_idx, epoch: int, batch_index: int):

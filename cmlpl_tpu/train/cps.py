@@ -132,7 +132,21 @@ class CPSTrainer(EpochDriver):
 
         from cmlpl_tpu.ops.patch_gather import make_train_gather
 
-        prep_cube, gather_xp = make_train_gather(cfg.gather_impl, cfg.n_pc)
+        pool_mode = cfg.gather_impl == "pool"
+        if pool_mode:
+            # pre-gathered-pool gather (see train/cmlpl.py; measured
+            # +22.6% on the CMLPL fused run): bulk-gather the dispatch's
+            # unique pixels once, in-scan gathers become row takes
+            _, bulk_gather = make_train_gather("xla", cfg.n_pc)
+
+            def prep_cube(padded):
+                return padded
+
+            def gather_xp(pooled, pos, cols, w):
+                return jnp.take(pooled, pos, axis=0)
+        else:
+            prep_cube, gather_xp = make_train_gather(cfg.gather_impl,
+                                                     cfg.n_pc)
 
         def step(state: CPSTrainState, padded, spectra, lab_idx, lab_y,
                  unl_idx, cols: int) -> Tuple[CPSTrainState, dict]:
@@ -209,15 +223,37 @@ class CPSTrainer(EpochDriver):
         # entry wrappers: the configured gather's cube transform
         # (prep_cube) is applied exactly once, at the dispatch boundary —
         # the inner step/epoch/run fns receive the already-prepped cube
-        # (pallas_bf16's shift-stack transform is NOT idempotent)
-        def step_entry(state, padded, *rest):
-            return step(state, prep_cube(padded), *rest)
+        # (pallas_bf16's shift-stack transform is NOT idempotent).  Pool
+        # mode instead receives (P,) pool_idx and feeds the cores the
+        # pooled patch/spectra tensors + positions.
+        if pool_mode:
+            def make_entry(core):
+                def entry(state, padded, spectra, pool_idx, li, ly, ui,
+                          cols):
+                    xp_pool = bulk_gather(padded, pool_idx, cols,
+                                          cfg.patch_size)
+                    x_pool = jnp.take(spectra, pool_idx, axis=0)
+                    return core(state, xp_pool, x_pool, li, ly, ui, cols)
+                return entry
 
-        def epoch_entry(state, padded, *rest):
-            return epoch_fn(state, prep_cube(padded), *rest)
+            step_entry = make_entry(step)
+            epoch_entry = make_entry(epoch_fn)
+            run_entry = make_entry(run_fn)
+            static = (7,)
+            extra = (NamedSharding(self.mesh, P()),) \
+                if self.mesh is not None else ()
+        else:
+            def step_entry(state, padded, *rest):
+                return step(state, prep_cube(padded), *rest)
 
-        def run_entry(state, padded, *rest):
-            return run_fn(state, prep_cube(padded), *rest)
+            def epoch_entry(state, padded, *rest):
+                return epoch_fn(state, prep_cube(padded), *rest)
+
+            def run_entry(state, padded, *rest):
+                return run_fn(state, prep_cube(padded), *rest)
+
+            static = (6,)
+            extra = ()
 
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
@@ -225,54 +261,71 @@ class CPSTrainer(EpochDriver):
             epoch_sh = NamedSharding(self.mesh, P(None, "data"))
             run_sh = NamedSharding(self.mesh, P(None, None, "data"))
             state_sh = self._state_sh
-            return (jax.jit(step_entry, static_argnums=(6,),
-                            in_shardings=(state_sh, repl, repl, batch_sh,
-                                          batch_sh, batch_sh),
+            return (jax.jit(step_entry, static_argnums=static,
+                            in_shardings=(state_sh, repl, repl, *extra,
+                                          batch_sh, batch_sh, batch_sh),
                             out_shardings=(state_sh, repl),
                             donate_argnums=self._donate),
-                    jax.jit(epoch_entry, static_argnums=(6,),
-                            in_shardings=(state_sh, repl, repl, epoch_sh,
-                                          epoch_sh, epoch_sh),
+                    jax.jit(epoch_entry, static_argnums=static,
+                            in_shardings=(state_sh, repl, repl, *extra,
+                                          epoch_sh, epoch_sh, epoch_sh),
                             out_shardings=(state_sh, repl),
                             donate_argnums=self._donate),
-                    jax.jit(run_entry, static_argnums=(6,),
-                            in_shardings=(state_sh, repl, repl, run_sh,
-                                          run_sh, run_sh),
+                    jax.jit(run_entry, static_argnums=static,
+                            in_shardings=(state_sh, repl, repl, *extra,
+                                          run_sh, run_sh, run_sh),
                             out_shardings=(state_sh, repl),
                             donate_argnums=self._donate))
-        return (jax.jit(step_entry, static_argnums=(6,),
+        return (jax.jit(step_entry, static_argnums=static,
                         donate_argnums=self._donate),
-                jax.jit(epoch_entry, static_argnums=(6,),
+                jax.jit(epoch_entry, static_argnums=static,
                         donate_argnums=self._donate),
-                jax.jit(run_entry, static_argnums=(6,),
+                jax.jit(run_entry, static_argnums=static,
                         donate_argnums=self._donate))
+
+    def _batch_args(self, lab_idx, lab_y, unl_idx, pspec):
+        """(maybe-pool, li, ly, ui) jit inputs for the three entries."""
+        import numpy as np
+
+        args = [self._put(np.asarray(lab_idx), pspec),
+                self._put(np.asarray(lab_y), pspec),
+                self._put(np.asarray(unl_idx), pspec)]
+        pool = []
+        if self.config.gather_impl == "pool":
+            from cmlpl_tpu.ops.patch_gather import poolify_batches
+
+            p, li_p, ui_p = poolify_batches(lab_idx, unl_idx)
+            pool = [self._put(p, P())]
+            args[0] = self._put(li_p, pspec)
+            args[2] = self._put(ui_p, pspec)
+        return pool + args
 
     def train_step(self, state, scene: PreparedScene, lab_idx, lab_y,
                    unl_idx):
-        b = P("data")
         return self._step_fn(
             state, self._put(scene.padded_pca, P()),
-            self._put(scene.spectra, P()), self._put(lab_idx, b),
-            self._put(lab_y, b), self._put(unl_idx, b), scene.cols)
+            self._put(scene.spectra, P()),
+            *self._batch_args(lab_idx, lab_y, unl_idx, P("data")),
+            scene.cols)
 
     def train_epoch(self, state, scene: PreparedScene, lab_idx, lab_y,
                     unl_idx):
         """One epoch in a single dispatch over stacked batch arrays."""
-        e = P(None, "data")
         return self._epoch_fn(
             state, self._put(scene.padded_pca, P()),
-            self._put(scene.spectra, P()), self._put(lab_idx, e),
-            self._put(lab_y, e), self._put(unl_idx, e), scene.cols)
+            self._put(scene.spectra, P()),
+            *self._batch_args(lab_idx, lab_y, unl_idx, P(None, "data")),
+            scene.cols)
 
     def train_run(self, state, scene: PreparedScene, sampler):
         """The whole schedule ((E, N, B) pre-drawn batches) in one
         dispatch."""
         li, ly, ui = stack_schedule(sampler, self.config.num_epochs)
-        r = P(None, None, "data")
         return self._run_fn(
             state, self._put(scene.padded_pca, P()),
-            self._put(scene.spectra, P()), self._put(li, r),
-            self._put(ly, r), self._put(ui, r), scene.cols)
+            self._put(scene.spectra, P()),
+            *self._batch_args(li, ly, ui, P(None, None, "data")),
+            scene.cols)
 
     def _format_log(self, epoch, batch_index, num_batches, m):
         return (f"Epoch {epoch + 1}/{self.config.num_epochs}: "

@@ -35,12 +35,28 @@ from cmlpl_tpu.train.supervised import SupervisedTrainer
 
 NUM_LABEL = 5
 
+# Per-model training recipes: the shipped table is the strongest HONEST
+# version of each architecture (VERDICT r2 item 7).  Only diagnosed,
+# measured adjustments belong here; everything else runs the plain
+# protocol so the comparison stays apples-to-apples.
+RECIPES = {
+    # SSRN's 3-D-conv/BN stack overfits the 45-sample few-shot split
+    # (r2 table: 59.40±8.94, the zoo outlier); patch augmentation
+    # (flip/rot90/radiation — dead in the reference, hsi_loader.py:58-107)
+    # lifted it to ~64.5/82.6 in the r2 diagnosis (docs/BENCHMARKS.md).
+    "ssrn": {"augment": True,
+             "note": "augment on: 5-shot overfit mitigation (+~10 OA)"},
+}
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--models", nargs="+", default=sorted(ZOO.keys()))
     ap.add_argument("--seeds", type=int, default=2)
     ap.add_argument("--num_epochs", type=int, default=20)
+    ap.add_argument("--no_recipes", action="store_true",
+                    help="ignore RECIPES and run every model with the "
+                         "plain protocol")
     args = ap.parse_args(argv)
 
     spec = get_dataset(1)
@@ -58,6 +74,7 @@ def main(argv=None):
         scene = prepare_scene(spec, cube=cube, gt=gt, patch_size=w,
                               n_pc=n_pc)
         splits = generate_splits(scene.labels, num_label=NUM_LABEL)
+        recipe = {} if args.no_recipes else RECIPES.get(name, {})
         oas = []
         t0 = time.time()
         for seed in range(args.seeds):
@@ -65,6 +82,8 @@ def main(argv=None):
             trainer = SupervisedTrainer(model, entry, patch_size=w,
                                         n_pc=n_pc,
                                         num_features=spec.num_bands,
+                                        augment=recipe.get("augment",
+                                                           False),
                                         mesh=mesh)
             st = trainer.init_state(jax.random.key(seed, impl="rbg"))
             st, _ = trainer.fit(
@@ -79,8 +98,9 @@ def main(argv=None):
             acc = cal_accuracy(pred[splits.test],
                                scene.labels[splits.test] - 1)
             oas.append(acc.oa * 100)
-        results[name] = oas
+        results[name] = (oas, recipe)
         print(json.dumps({"model": name, "w": w, "n_pc": n_pc,
+                          "recipe": recipe.get("note", "plain"),
                           "oa": [round(v, 2) for v in oas],
                           "mean": round(float(np.mean(oas)), 2),
                           "std": round(float(np.std(oas)), 2),
@@ -90,8 +110,9 @@ def main(argv=None):
     print(f"{'model':14s} {'OA mean':>8s} {'std':>6s}  "
           f"({args.seeds} seeds, {NUM_LABEL} labels/class, hard "
           "synthetic 200x150 scene, supervised-only)")
-    for name, oas in results.items():
-        print(f"{name:14s} {np.mean(oas):8.2f} {np.std(oas):6.2f}")
+    for name, (oas, recipe) in results.items():
+        note = f"  [{recipe['note']}]" if recipe.get("note") else ""
+        print(f"{name:14s} {np.mean(oas):8.2f} {np.std(oas):6.2f}{note}")
 
 
 if __name__ == "__main__":

@@ -55,13 +55,7 @@ REFERENCE = os.environ.get("CMLPL_REFERENCE", "/root/reference")
 
 os.environ.setdefault("MPLBACKEND", "Agg")
 
-# same-host A/B: both sides on this host's CPU (forced before any
-# backend init; the image's sitecustomize would otherwise register the
-# tunneled TPU backend for ours, making wall times incomparable)
 import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
-
 import numpy as np  # noqa: E402
 
 
@@ -293,7 +287,20 @@ def main(argv=None):
     p.add_argument("--class_sep", type=float, default=0.35)
     p.add_argument("--skip_ref", action="store_true")
     p.add_argument("--skip_ours", action="store_true")
+    p.add_argument("--ours_tpu", action="store_true",
+                   help="run our side on the default accelerator (TPU) "
+                        "instead of forcing host CPU.  OA comparisons "
+                        "are hardware-independent; the CPU stays free "
+                        "for the torch reference side (this host has "
+                        "one vCPU).  Without it both sides share the "
+                        "CPU and per-seed wall times are comparable.")
     args = p.parse_args(argv)
+
+    if not args.ours_tpu:
+        # same-host default: both sides on this host's CPU (must happen
+        # before any backend init; the image's sitecustomize otherwise
+        # registers the tunneled TPU backend)
+        jax.config.update("jax_platforms", "cpu")
 
     workdir = os.path.abspath(args.workdir)
     os.makedirs(workdir, exist_ok=True)

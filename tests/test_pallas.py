@@ -156,7 +156,7 @@ def test_cps_cct_step_with_pallas_bf16_gather(tiny_scene, tiny_splits):
 
     for cls in [CPSTrainer, CCTTrainer]:
         losses = {}
-        for impl in ["xla", "pallas_bf16"]:
+        for impl in ["xla", "pallas_bf16", "pool"]:
             t = cls(CMLPLConfig(gather_impl=impl, **kw), donate=False)
             s = t.init_state(jax.random.key(0))
             _, m = t.train_step(s, scene, li, ly, ui)
@@ -164,6 +164,10 @@ def test_cps_cct_step_with_pallas_bf16_gather(tiny_scene, tiny_splits):
         assert np.isfinite(losses["pallas_bf16"]), cls.__name__
         np.testing.assert_allclose(losses["pallas_bf16"], losses["xla"],
                                    rtol=2e-2, err_msg=cls.__name__)
+        # pool re-reads the same patch values -> numerically identical
+        np.testing.assert_allclose(losses["pool"], losses["xla"],
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=cls.__name__)
 
 
 def test_cmlpl_pool_gather_matches_xla(tiny_scene, tiny_splits):
