@@ -57,6 +57,10 @@ def main(argv=None):
     ap.add_argument("--no_recipes", action="store_true",
                     help="ignore RECIPES and run every model with the "
                          "plain protocol")
+    ap.add_argument("--ema_teacher", type=float, default=0.0,
+                    help="train every model with an EMA teacher at this "
+                         "alpha and report the TEACHER's OA (efficacy "
+                         "probe for --ema_teacher)")
     args = ap.parse_args(argv)
 
     spec = get_dataset(1)
@@ -84,6 +88,7 @@ def main(argv=None):
                                         num_features=spec.num_bands,
                                         augment=recipe.get("augment",
                                                            False),
+                                        ema_alpha=args.ema_teacher,
                                         mesh=mesh)
             st = trainer.init_state(jax.random.key(seed, impl="rbg"))
             st, _ = trainer.fit(
@@ -94,7 +99,9 @@ def main(argv=None):
             predictor = ScenePredictor(trainer.logits_fn(), patch_size=w,
                                        cols=scene.cols, tile=2048,
                                        mesh=mesh)
-            pred = predictor(trainer.eval_variables(st), scene)
+            pred = predictor(
+                trainer.eval_variables(st, ema=args.ema_teacher > 0),
+                scene)
             acc = cal_accuracy(pred[splits.test],
                                scene.labels[splits.test] - 1)
             oas.append(acc.oa * 100)

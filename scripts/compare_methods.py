@@ -140,6 +140,20 @@ def main(argv=None):
                 "cmlpl+augment",
                 dataclasses.replace(cfg, augment=("flip", "rot90",
                                                   "radiation")), seed)
+            # EMA-teacher efficacy (--ema_teacher, reference WeightEMA_BN
+            # tools/models.py:155-164): same supervised run, teacher eval
+            model, entry = build_model("basenet2", spec, 60)
+            emat = SupervisedTrainer(model, entry, patch_size=20, n_pc=60,
+                                     num_features=spec.num_bands,
+                                     ema_alpha=0.95, mesh=mesh)
+            st = emat.init_state(jax.random.key(seed, impl="rbg"))
+            st, _ = emat.fit(st, scene, splits.train, scene.labels,
+                             batch_size=45, num_epochs=cfg.num_epochs,
+                             epoch_samples=cfg.num_unlabel, log_every=0)
+            acc = evaluate(emat.logits_fn(),
+                           emat.eval_variables(st, ema=True), scene,
+                           splits, mesh)
+            results.setdefault("supervised+ema", []).append(acc.oa)
         print(f"seed {seed} done", file=sys.stderr)
 
     print(f"{'method':12s} {'OA mean':>8s} {'std':>6s}  ({len(SEEDS)} seeds,"
