@@ -270,10 +270,26 @@ class CMLPLTrainer(EpochDriver):
 
             def loss_fn(params_pair):
                 params_b, params_e = params_pair
-                logits_b_all, feat_b_all = apply_net(
-                    params_b, xp_b_all, x_b_all, k_drop_b)
-                logits_e_all, feat_e_all = apply_net(
-                    params_e, xp_e_all, x_e_all, k_drop_e)
+                if cfg.stack_nets:
+                    # one batched forward over a leading net axis: every
+                    # conv/matmul runs once at 2x batch (same params,
+                    # inputs, and per-net dropout keys -> numerically
+                    # identical to the two-call path)
+                    stacked = jax.tree_util.tree_map(
+                        lambda a, b: jnp.stack([a, b]),
+                        params_b, params_e)
+                    logits_all, feat_all = jax.vmap(apply_net)(
+                        stacked,
+                        jnp.stack([xp_b_all, xp_e_all]),
+                        jnp.stack([x_b_all, x_e_all]),
+                        jnp.stack([k_drop_b, k_drop_e]))
+                    logits_b_all, logits_e_all = logits_all[0], logits_all[1]
+                    feat_b_all, feat_e_all = feat_all[0], feat_all[1]
+                else:
+                    logits_b_all, feat_b_all = apply_net(
+                        params_b, xp_b_all, x_b_all, k_drop_b)
+                    logits_e_all, feat_e_all = apply_net(
+                        params_e, xp_e_all, x_e_all, k_drop_e)
 
                 lab_b, un_b = logits_b_all[:bt], logits_b_all[bt:]
                 feat_lab_b, xs = feat_b_all[:bt], feat_b_all[bt:]

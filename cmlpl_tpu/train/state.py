@@ -56,6 +56,12 @@ class CMLPLConfig:
     #                 become contiguous row takes.  Numerically identical
     #                 to "xla" (same patch values, same math).
     gather_impl: str = "xla"
+    # Stack the two networks' forwards into ONE set of batched kernels
+    # (jax.vmap over a net axis: each conv/matmul runs once at 2x batch
+    # instead of twice).  Numerically identical to the unstacked path
+    # (same params, same inputs, same dropout keys per net) — perf knob
+    # only; A/B'd in scripts/ab_gather.py --stack_nets.
+    stack_nets: bool = False
     # opt-in objectives the reference imports but never invokes
     # (loss_helper.py, models.py:14-39, the missing `regularizer` module):
     # "" | "memobank" (U2PL InfoNCE, net E teaches net B) | "mmd"

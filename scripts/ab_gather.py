@@ -44,6 +44,9 @@ def main() -> None:
                         "1-device mesh)")
     p.add_argument("--repeats", type=int, default=2,
                    help="timed runs per impl (after the compile run)")
+    p.add_argument("--stack_nets", action="store_true",
+                   help="stack the two nets' forwards into single "
+                        "batched kernels (CMLPLConfig.stack_nets)")
     args = p.parse_args()
 
     from cmlpl_tpu.core.mesh import create_mesh
@@ -63,7 +66,8 @@ def main() -> None:
 
     for impl in args.impls:
         cfg = CMLPLConfig(num_classes=spec.num_classes,
-                          num_features=spec.num_bands, gather_impl=impl)
+                          num_features=spec.num_bands, gather_impl=impl,
+                          stack_nets=args.stack_nets)
         sampler = SemiSupervisedSampler(
             splits, scene.labels, cfg.labeled_batch, cfg.unlabeled_batch,
             num_unlabel=cfg.num_unlabel)
@@ -87,6 +91,7 @@ def main() -> None:
         dt = min(times)
         print(json.dumps({
             "impl": impl,
+            "stack_nets": args.stack_nets,
             "train_sec": round(dt, 3),
             "train_sec_all": [round(t, 3) for t in times],
             "patches_per_sec": round(

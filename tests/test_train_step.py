@@ -100,3 +100,26 @@ def test_cct_step(tiny_scene, tiny_splits):
     assert _leaf_delta(new_state.params["encoder"],
                        state.params["encoder"]) > 0
     assert _leaf_delta(new_state.params["dec1"], state.params["dec1"]) > 0
+
+
+def test_stack_nets_bitwise_identical(tiny_scene, tiny_splits):
+    """CMLPLConfig.stack_nets (one vmapped forward over a net axis) must
+    be numerically identical to the two-call path: same params, same
+    inputs, same per-net dropout keys.  (Perf knob only; the TPU A/B
+    recorded it 7.5% slower — docs/BENCHMARKS.md — but the equality
+    pin keeps the knob honest.)"""
+    cfg = _tiny_cfg(tiny_scene)
+    sampler = _sampler(tiny_splits, tiny_scene, cfg)
+    li, ly, ui = next(iter(sampler.epoch()))
+    out = {}
+    for s in [False, True]:
+        import dataclasses
+
+        t = CMLPLTrainer(dataclasses.replace(cfg, stack_nets=s),
+                         donate=False)
+        st = t.init_state(jax.random.key(0))
+        _, m = t.train_step(st, tiny_scene, li, ly, ui, 0, 0)
+        out[s] = {k: float(v) for k, v in m.items()}
+    for k in out[False]:
+        np.testing.assert_allclose(out[True][k], out[False][k],
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
