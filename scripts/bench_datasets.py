@@ -30,6 +30,9 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data_ids", nargs="+", type=int, default=[1, 2, 3, 4])
     p.add_argument("--data_root", default="./dataset")
+    p.add_argument("--gather_impl", default="pool",
+                   help="training gather (default: the r3 pool gather, "
+                        "bench.py's headline path)")
     args = p.parse_args()
 
     from cmlpl_tpu.core.mesh import create_mesh
@@ -52,7 +55,8 @@ def main() -> None:
                               n_pc=60)
         splits = generate_splits(scene.labels, num_label=5)
         cfg = CMLPLConfig(num_classes=spec.num_classes,
-                          num_features=spec.num_bands)
+                          num_features=spec.num_bands,
+                          gather_impl=args.gather_impl)
         sampler = SemiSupervisedSampler(
             splits, scene.labels, cfg.labeled_batch, cfg.unlabeled_batch,
             num_unlabel=cfg.num_unlabel)
@@ -83,6 +87,7 @@ def main() -> None:
 
         print(json.dumps({
             "dataset": spec.name,
+            "gather_impl": args.gather_impl,
             "dims": [spec.rows, spec.cols, spec.num_bands],
             "num_pixels": spec.num_pixels,
             "train_20epoch_sec": round(train_sec, 3),
