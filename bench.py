@@ -203,14 +203,14 @@ def main() -> None:
                     achieved_tflops / V5E_PEAK_TFLOPS_BF16, 4),
                 "hbm_gb_per_sec_est": round(hbm_gbps, 1),
                 "bound": (
-                    "not MXU-bound: the r3 pool gather removed the "
-                    "per-patch windowed-DMA share that dominated the r2 "
-                    "profile (docs/BENCHMARKS.md); the remainder is "
-                    "elementwise Gaussian-noise view generation, "
-                    "queue/graph ops, and small-spatial convs that do "
-                    "not saturate the MXU at this 20x20x60 model scale "
-                    "(f32 reference numerics; bf16 compute is an "
-                    "opt-in +12%)"),
+                    "conv-dominated, not data-movement-bound: the r3 "
+                    "pool gather cut the gather share ~30% -> ~11%; the "
+                    "r3 trace puts 49% of device time in the conv "
+                    "fwd/bwd at modest MXU utilisation (20x20 spatial, "
+                    "64 channels, f32 reference numerics), 18% in "
+                    "elementwise noise/queue/Adam fusions "
+                    "(docs/BENCHMARKS.md r3 profile; bf16 compute is "
+                    "the remaining lever, opt-in +12%)"),
             },
             "full_scene_paviau_sec": round(scene_sec, 3),
             "full_scene_paviau_bf16_gather_sec": round(scene_bf16_sec, 3),
