@@ -234,14 +234,17 @@ def check_gather_mesh(gather_impl: str, mesh) -> None:
             "multi-chip training")
 
 
-def poolify_batches(lab_idx, unl_idx):
+def poolify_batches(lab_idx, unl_idx, bucket: int = 512):
     """Pool-mode host prep: a dispatch's unique pixel ids + the batch
     index arrays re-expressed as positions into that pool.
 
-    The pool size is stable across whole-run dispatches (labeled split +
-    truncated unlabeled pool, ~10,045 at the reference schedule), so the
-    graph compiles once; per-STEP use recompiles when the unique count
-    changes — pool mode is meant for the fused epoch/run paths."""
+    The pool is padded (repeating its first id) up to a multiple of
+    ``bucket`` so the jitted graph's pool shape stays stable when the
+    unique count jitters — per-EPOCH dispatches draw 9,984 of the 10,000
+    tiled unlabeled samples, so their unique count varies by a few tens
+    per epoch; without bucketing the checkpointing/resume path (one
+    dispatch per epoch) would recompile every epoch.  Whole-run
+    dispatches see the full pool (~10,045) and compile once either way."""
     import numpy as np
 
     li = np.asarray(lab_idx)
@@ -250,6 +253,9 @@ def poolify_batches(lab_idx, unl_idx):
                           return_inverse=True)
     li_pos = inv[:li.size].reshape(li.shape).astype(np.int32)
     ui_pos = inv[li.size:].reshape(ui.shape).astype(np.int32)
+    padded_len = -(-len(pool) // bucket) * bucket
+    pool = np.concatenate(
+        [pool, np.full(padded_len - len(pool), pool[0], pool.dtype)])
     return pool.astype(np.int32), li_pos, ui_pos
 
 

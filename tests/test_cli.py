@@ -32,6 +32,32 @@ def test_sample_generation_cli(workdir):
     assert train.shape == (45,)
 
 
+def test_scene_npz_ingestion_cli(workdir):
+    """--scene_npz (bring-your-own-cube) + --splits_dir through the real
+    mains: sample_generation materialises the splits from the npz scene,
+    then cli.train ingests BOTH — the reference-oracle A/B's data path
+    (scripts/reference_oracle.py)."""
+    import jax
+
+    from cmlpl_tpu.cli.sample_generation import main as sample_main
+    from cmlpl_tpu.cli.train import main as train_main
+    from cmlpl_tpu.data import synthetic_scene
+
+    cube, gt = synthetic_scene(0, rows=28, cols=24)
+    np.savez("scene.npz", cube=cube, gt=gt)
+    sample_main(["--dataID", "0", "--n_PC", "16",
+                 "--scene_npz", "scene.npz", "--data_root", "./dataset"])
+    # the splits must come from the npz scene's gt, not the default one
+    train = np.load("dataset/Synthetic/train_array.npy")
+    labels = np.asarray(gt).reshape(-1)
+    assert (labels[train] > 0).all() and train.shape == (45,)
+
+    acc_b, _ = train_main(ARGS + [
+        "--scene_npz", "scene.npz",
+        "--splits_dir", "./dataset/Synthetic"])
+    assert 0.0 <= acc_b.oa <= 1.0
+
+
 def test_train_then_predict_cli(workdir):
     from cmlpl_tpu.cli.predict import main as predict_main
     from cmlpl_tpu.cli.train import main as train_main
