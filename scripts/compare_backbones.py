@@ -61,9 +61,15 @@ def main(argv=None):
                     help="train every model with an EMA teacher at this "
                          "alpha and report the TEACHER's OA (efficacy "
                          "probe for --ema_teacher)")
+    ap.add_argument("--dataID", type=str, default="1",
+                    help="dataset geometry/class-count to run at "
+                         "(BASELINE.md lists backbone configs on Indian "
+                         "Pines / Salinas too); scene stays the hard "
+                         "200x150 synthetic recipe with that dataset's "
+                         "bands/classes")
     args = ap.parse_args(argv)
 
-    spec = get_dataset(1)
+    spec = get_dataset(args.dataID)
     cube, gt = synthetic_scene(spec, rows=200, cols=150, noise_std=1.2,
                                class_sep=0.35)
     mesh = create_mesh()
@@ -115,8 +121,8 @@ def main(argv=None):
               flush=True)
 
     print(f"{'model':14s} {'OA mean':>8s} {'std':>6s}  "
-          f"({args.seeds} seeds, {NUM_LABEL} labels/class, hard "
-          "synthetic 200x150 scene, supervised-only)")
+          f"({spec.name} geometry, {args.seeds} seeds, {NUM_LABEL} "
+          "labels/class, hard synthetic 200x150 scene, supervised-only)")
     for name, (oas, recipe) in results.items():
         note = f"  [{recipe['note']}]" if recipe.get("note") else ""
         print(f"{name:14s} {np.mean(oas):8.2f} {np.std(oas):6.2f}{note}")
