@@ -59,15 +59,28 @@ class ScenePredictor:
         self.tile = tile
         self.mesh = mesh
         self.gather = _resolve_gather(gather)
-        self._predict = self._build()
+        self._predicts: dict = {}
 
-    def _build(self):
+    def _gather_mode(self, cube_channels: int) -> str:
+        """Per-scene gather resolution.  Mosaic's memref_slice requires
+        8-aligned column slices once the cube spans MORE than one
+        128-lane tile ("Slice shape along dimension 1 must be aligned to
+        tiling (8)") — scenes/models with >128 channels (e.g. raw
+        200-band Indian Pines through the 3-D-conv zoo models) therefore
+        fall back to the XLA gather rather than crash; <=128-channel
+        cubes (every n_PC<=128 config) keep the measured-faster Pallas
+        DMA paths."""
+        if self.gather in ("pallas", "pallas_bf16") and cube_channels > 128:
+            return "xla"
+        return self.gather
+
+    def _build(self, mode: str):
         w = self.patch_size
         cols = self.cols
         apply_fn = self.apply_fn
-        use_pallas = self.gather == "pallas"
+        use_pallas = mode == "pallas"
 
-        use_shifted = self.gather == "pallas_bf16"
+        use_shifted = mode == "pallas_bf16"
 
         def predict(params, padded, spectra, idx_tiles, n_pc):
             def gather_tile(idx):
@@ -144,11 +157,15 @@ class ScenePredictor:
         idx_tiles = idx.reshape(-1, per_tile)
 
         cube = scene.padded_pca
-        if self.gather == "pallas":
+        mode = self._gather_mode(cube.shape[-1])
+        if mode not in self._predicts:
+            self._predicts[mode] = self._build(mode)
+        self._predict = self._predicts[mode]
+        if mode == "pallas":
             from cmlpl_tpu.ops.patch_gather import lane_pad_cube
 
             cube = lane_pad_cube(cube)
-        elif self.gather == "pallas_bf16":
+        elif mode == "pallas_bf16":
             from cmlpl_tpu.ops.patch_gather import build_shifted_cube_bf16
 
             cube = build_shifted_cube_bf16(cube)

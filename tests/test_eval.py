@@ -83,3 +83,35 @@ def test_scene_predictor_pallas_bf16_gather(tiny_scene):
     assert bf16.shape == base.shape
     agree = np.mean(bf16 == base)
     assert agree > 0.99, f"bf16 gather flipped {100*(1-agree):.2f}% pixels"
+
+
+def test_scene_predictor_pallas_fallback_over_128_channels():
+    """Mosaic memref_slice needs 8-aligned column slices once the cube
+    spans >1 128-lane tile, so an explicit (or auto) pallas gather must
+    fall back to XLA for >128-channel scenes (odd-w zoo models on raw
+    200-band Indian Pines crashed the sweep before this guard) and keep
+    producing correct predictions."""
+    from cmlpl_tpu.data import prepare_scene, synthetic_scene
+    from cmlpl_tpu.registry import get_dataset
+
+    import dataclasses
+
+    spec = dataclasses.replace(get_dataset(0), num_bands=200)
+    cube, gt = synthetic_scene(spec, rows=24, cols=20)
+    scene = prepare_scene(spec, cube=cube, gt=gt, patch_size=9, n_pc=200)
+
+    model = BaseNet2(num_features=200, num_classes=9, n_pc=200)
+    xp0 = jnp.zeros((1, 9, 9, 200))
+    x0 = jnp.zeros((1, 200))
+    params = model.init(jax.random.key(0), xp0, x0, train=False)["params"]
+
+    def apply(p, xp, x):
+        return model.apply({"params": p}, xp, x, train=False)[0]
+
+    pal = ScenePredictor(apply, patch_size=9, cols=scene.cols, tile=128,
+                         gather="pallas")
+    assert pal._gather_mode(scene.padded_pca.shape[-1]) == "xla"
+    assert pal._gather_mode(128) == "pallas"
+    xla = ScenePredictor(apply, patch_size=9, cols=scene.cols, tile=128,
+                         gather="xla")
+    np.testing.assert_array_equal(pal(params, scene), xla(params, scene))
