@@ -65,12 +65,16 @@ def base_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="model compute dtype (params stay float32)")
     p.add_argument("--eval_gather", type=str, default="auto",
-                   choices=["auto", "xla", "pallas", "pallas_bf16"],
+                   choices=["auto", "xla", "pallas", "pallas_bf16",
+                            "dense"],
                    help="full-scene inference patch gather: auto = "
                         "Pallas f32 DMA on TPU / XLA elsewhere; "
                         "pallas_bf16 = DMA from a bf16 shift-cube "
                         "(measured 1.48x faster scene maps; patch inputs "
-                        "bf16-quantised)")
+                        "bf16-quantised); dense = NO gather, one dilated "
+                        "whole-scene conv pass (BaseNet2 only; boundary "
+                        "semantics differ slightly from patch eval — "
+                        "99.6% prediction agreement measured)")
     p.add_argument("--gather_impl", type=str, default="xla",
                    choices=["xla", "pallas", "pallas_bf16", "pool"],
                    help="training patch-gather: XLA dynamic-slice "

@@ -115,3 +115,59 @@ def test_scene_predictor_pallas_fallback_over_128_channels():
     xla = ScenePredictor(apply, patch_size=9, cols=scene.cols, tile=128,
                          gather="xla")
     np.testing.assert_array_equal(pal(params, scene), xla(params, scene))
+
+
+def test_dense_eval_matches_patch_eval(tiny_scene, tiny_splits):
+    """--eval_gather dense (one dilated whole-scene conv pass, no patch
+    gather): boundary semantics differ from patch eval by design (each
+    patch zero-pads its own conv edges; dense sees true neighbours), so
+    the pin is high agreement + near-identical OA on a TRAINED net, not
+    bitwise equality."""
+    from cmlpl_tpu.data import SemiSupervisedSampler
+    from cmlpl_tpu.eval.inference import dense_scene_logits
+    from cmlpl_tpu.train import CMLPLConfig, CMLPLTrainer
+
+    scene, splits = tiny_scene, tiny_splits
+    cfg = CMLPLConfig(num_classes=9, num_features=103, n_pc=scene.n_pc,
+                      patch_size=20, labeled_batch=16, unlabeled_batch=16,
+                      num_unlabel=64, num_epochs=4)
+    tr = CMLPLTrainer(cfg, donate=False)
+    st = tr.init_state(jax.random.key(0))
+    sam = SemiSupervisedSampler(splits, scene.labels, 16, 16,
+                                num_unlabel=64)
+    st, _ = tr.train_run(st, scene, sam)
+    params = jax.device_get(st.net_b.params)
+
+    model = BaseNet2(num_features=103, num_classes=9, n_pc=scene.n_pc)
+
+    def apply(p, xp, x):
+        return model.apply({"params": p}, xp, x, train=False)[0]
+
+    patch = ScenePredictor(apply, patch_size=20, cols=scene.cols,
+                           tile=256)(params, scene)
+    dense = ScenePredictor(apply, patch_size=20, cols=scene.cols,
+                           tile=256, gather="dense")(params, scene)
+    agree = float((dense == patch).mean())
+    assert agree >= 0.98, agree
+
+    y = scene.labels[splits.test] - 1
+    oa_p = float((patch[splits.test] == y).mean())
+    oa_d = float((dense[splits.test] == y).mean())
+    assert abs(oa_p - oa_d) <= 0.01, (oa_p, oa_d)
+
+    # logits agree closely too (the public helper)
+    dl = np.asarray(dense_scene_logits(params, scene))
+    assert np.argmax(dl, -1).astype(np.int32).tolist() == dense.tolist()
+
+    # guards: odd patch width and non-BaseNet2 params refuse loudly
+    import pytest
+
+    bad = ScenePredictor(apply, patch_size=9, cols=scene.cols,
+                         gather="dense")
+    with pytest.raises(ValueError, match="patch_size"):
+        import dataclasses
+
+        bad(params, dataclasses.replace(scene, patch_size=9))
+    with pytest.raises(ValueError, match="BaseNet2-shaped"):
+        ScenePredictor(apply, patch_size=20, cols=scene.cols,
+                       gather="dense")({"conv0": params["conv0"]}, scene)
