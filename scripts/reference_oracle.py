@@ -172,7 +172,13 @@ def run_reference(algo: str, args, workdir: str) -> dict:
 
 def run_ours(algo: str, args, workdir: str, splits_dir: str,
              scene_npz: str) -> dict:
-    """Run cmlpl_tpu's CLI main N times on the identical scene+splits."""
+    """Run cmlpl_tpu's CLI main N times on the identical scene+splits.
+
+    ``--ours_flags`` appends extra flags to our side only (e.g.
+    ``--ours_flags --compute_dtype bfloat16 --rng_impl rbg``) so the
+    perf knobs' OA impact can be measured against the same recorded
+    reference distribution (the bf16/rbg study queued in
+    docs/BENCHMARKS.md)."""
     from cmlpl_tpu.cli import train as cli_train
     from cmlpl_tpu.cli import train_cct as cli_cct
     from cmlpl_tpu.cli import train_cps as cli_cps
@@ -196,7 +202,7 @@ def run_ours(algo: str, args, workdir: str, splits_dir: str,
                 "--val_batch_size", str(args.val_batch_size),
                 "--dropout", str(args.dropout), "--lr", str(args.lr),
                 "--print_per_batches", "0",
-                "--seed", str(args.seed0 + s)]
+                "--seed", str(args.seed0 + s)] + list(args.ours_flags)
             t0 = time.time()
             if algo == "cmlpl":
                 acc_a, acc_b = cli_train.main(flags)
@@ -287,6 +293,19 @@ def main(argv=None):
     p.add_argument("--class_sep", type=float, default=0.35)
     p.add_argument("--skip_ref", action="store_true")
     p.add_argument("--skip_ours", action="store_true")
+    p.add_argument("--ref_json", type=str, default=None,
+                   help="with --skip_ref: reuse the reference OA "
+                        "distributions recorded in a previous run's "
+                        "JSON (e.g. docs/reference_ab_r3.json) so the "
+                        "verdict still computes — the slow CPU torch "
+                        "side runs once per scene/schedule, not once "
+                        "per knob configuration")
+    p.add_argument("--ours_flags", nargs=argparse.REMAINDER, default=[],
+                   help="extra flags appended to OUR side's CLI only "
+                        "(must be last; e.g. --ours_flags "
+                        "--compute_dtype bfloat16 --rng_impl rbg)")
+    p.add_argument("--out", type=str, default="reference_ab.json",
+                   help="output JSON filename inside --workdir")
     p.add_argument("--ours_tpu", action="store_true",
                    help="run our side on the default accelerator (TPU) "
                         "instead of forcing host CPU.  OA comparisons "
@@ -306,6 +325,13 @@ def main(argv=None):
     os.makedirs(workdir, exist_ok=True)
     splits_dir, scene_npz = materialize(args, workdir)
 
+    recorded_ref = {}
+    if args.ref_json:
+        with open(args.ref_json) as f:
+            prior = json.load(f)
+        recorded_ref = {a: e["reference"] for a, e in prior.items()
+                        if "reference" in e}
+
     results = {}
     for algo in args.algos:
         entry = {"algo": algo, "seeds": args.seeds,
@@ -318,8 +344,13 @@ def main(argv=None):
                  "scene": {"rows": args.rows, "cols": args.cols,
                            "noise_std": args.noise_std,
                            "class_sep": args.class_sep}}
+        if args.ours_flags:
+            entry["ours_flags"] = list(args.ours_flags)
         if not args.skip_ref:
             entry["reference"] = run_reference(algo, args, workdir)
+        elif algo in recorded_ref:
+            entry["reference"] = dict(recorded_ref[algo],
+                                      recorded_from=args.ref_json)
         if not args.skip_ours:
             entry["ours"] = run_ours(algo, args, workdir, splits_dir,
                                      scene_npz)
@@ -328,7 +359,7 @@ def main(argv=None):
         results[algo] = entry
         print(json.dumps(entry))
 
-    out = os.path.join(workdir, "reference_ab.json")
+    out = os.path.join(workdir, args.out)
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}", file=sys.stderr)
