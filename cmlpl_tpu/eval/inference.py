@@ -36,6 +36,32 @@ def _resolve_gather(gather: str) -> str:
             else "xla")
 
 
+_DENSE_KEYS = ("conv0", "conv1", "conv2", "feat_spe", "classifier")
+
+
+def _dense_params_view(params):
+    """Canonical BaseNet2-shaped view of a param tree for the dense pass.
+
+    Accepts BaseNet2 params directly, or a CCT train-state tree
+    (``{"encoder": stem, "dec_base": {"fc": head}, ...}``): the CCT eval
+    path is ``head(encoder(xp, x))`` (trian_CCT.py:246 ->
+    hyper_tools.py:462-484) and CCTNet's stem + (H, W, C) flatten order
+    are identical to BaseNet2's (models.py:229-287 vs :97-152), so the
+    dense dilated transform applies unchanged with the linear head in
+    the classifier slot.  Raises ValueError for any other shape (zoo
+    backbones use the tiled gather modes).
+    """
+    if "encoder" in params and "dec_base" in params:
+        params = dict(params["encoder"],
+                      classifier=params["dec_base"]["fc"])
+    missing = [k for k in _DENSE_KEYS if k not in params]
+    if missing:
+        raise ValueError(
+            "dense eval requires BaseNet2/CCT-shaped params; missing "
+            f"{missing} (use the tiled gather modes for other backbones)")
+    return {k: params[k] for k in _DENSE_KEYS}
+
+
 def dense_scene_logits(params, scene: PreparedScene) -> jax.Array:
     """Full-scene BaseNet2 logits as ONE dense dilated-conv evaluation
     (the OverFeat/à-trous transform) — no patch gather at all.
@@ -55,22 +81,17 @@ def dense_scene_logits(params, scene: PreparedScene) -> jax.Array:
     99.6% prediction agreement, 0.9998 logit correlation, OA within 0.1
     (tests/test_eval.py) — opt-in via ``--eval_gather dense``.
 
-    Requires a BaseNet2-family param tree (conv0/conv1/conv2/feat_spe/
-    classifier) and ``patch_size % 4 == 0``.
+    Requires a BaseNet2-family or CCT param tree (see
+    :func:`_dense_params_view`) and ``patch_size % 4 == 0``.
     """
     import jax.numpy as jnp
 
     if scene.patch_size % 4 != 0:
         raise ValueError("dense eval needs patch_size % 4 == 0 "
                          f"(got {scene.patch_size})")
-    for key in ("conv0", "conv1", "conv2", "feat_spe", "classifier"):
-        if key not in params:
-            raise ValueError(
-                "dense eval requires BaseNet2-shaped params; "
-                f"missing {key!r} (use the tiled gather modes for "
-                "other backbones)")
-    return _dense_logits(params, scene.padded_pca, scene.spectra,
-                         scene.rows, scene.cols, scene.patch_size)
+    return _dense_logits(_dense_params_view(params), scene.padded_pca,
+                         scene.spectra, scene.rows, scene.cols,
+                         scene.patch_size)
 
 
 def _dense_logits(params, padded, spectra, rows: int, cols: int,
@@ -246,15 +267,9 @@ class ScenePredictor:
             if scene.patch_size % 4 != 0:
                 raise ValueError("dense eval needs patch_size % 4 == 0 "
                                  f"(got {scene.patch_size})")
-            for key in ("conv0", "conv1", "conv2", "feat_spe",
-                        "classifier"):
-                if key not in params:
-                    raise ValueError(
-                        "dense eval requires BaseNet2-shaped params; "
-                        f"missing {key!r}")
             preds = self._predicts["dense"](
-                params, scene.padded_pca, scene.spectra, scene.rows,
-                scene.cols, scene.patch_size)
+                _dense_params_view(params), scene.padded_pca,
+                scene.spectra, scene.rows, scene.cols, scene.patch_size)
             return np.asarray(jax.device_get(preds)).reshape(-1)
 
         cube = scene.padded_pca

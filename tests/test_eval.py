@@ -168,6 +168,44 @@ def test_dense_eval_matches_patch_eval(tiny_scene, tiny_splits):
         import dataclasses
 
         bad(params, dataclasses.replace(scene, patch_size=9))
-    with pytest.raises(ValueError, match="BaseNet2-shaped"):
+    with pytest.raises(ValueError, match="shaped params"):
         ScenePredictor(apply, patch_size=20, cols=scene.cols,
                        gather="dense")({"conv0": params["conv0"]}, scene)
+
+
+def test_dense_eval_cct(tiny_scene, tiny_splits):
+    """CCT dense eval: the CCT eval path is dec_base(encoder(xp, x))
+    (trian_CCT.py:246 -> hyper_tools.py:462-484) and CCTNet's stem +
+    flatten order are identical to BaseNet2's, so --eval_gather dense
+    applies via the params view (_dense_params_view)."""
+    from cmlpl_tpu.data import SemiSupervisedSampler
+    from cmlpl_tpu.train import CMLPLConfig
+    from cmlpl_tpu.train.cct import CCTTrainer
+
+    scene, splits = tiny_scene, tiny_splits
+    cfg = CMLPLConfig(num_classes=9, num_features=103, n_pc=scene.n_pc,
+                      patch_size=20, labeled_batch=16, unlabeled_batch=16,
+                      num_unlabel=64, num_epochs=4)
+    tr = CCTTrainer(cfg, donate=False)
+    st = tr.init_state(jax.random.key(0))
+    sam = SemiSupervisedSampler(splits, scene.labels, 16, 16,
+                                num_unlabel=64)
+    st, _ = tr.train_run(st, scene, sam)
+    params = jax.device_get(st.params)
+
+    def apply_cct(p, xp, x):
+        fea, _ = tr.encoder.apply({"params": p["encoder"]}, xp, x,
+                                  train=False)
+        return tr.head.apply({"params": p["dec_base"]}, fea)
+
+    patch = ScenePredictor(apply_cct, patch_size=20, cols=scene.cols,
+                           tile=256)(params, scene)
+    dense = ScenePredictor(apply_cct, patch_size=20, cols=scene.cols,
+                           tile=256, gather="dense")(params, scene)
+    agree = float((dense == patch).mean())
+    assert agree >= 0.98, agree
+
+    y = scene.labels[splits.test] - 1
+    oa_p = float((patch[splits.test] == y).mean())
+    oa_d = float((dense[splits.test] == y).mean())
+    assert abs(oa_p - oa_d) <= 0.01, (oa_p, oa_d)
