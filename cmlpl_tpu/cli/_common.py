@@ -72,9 +72,10 @@ def base_parser() -> argparse.ArgumentParser:
                         "pallas_bf16 = DMA from a bf16 shift-cube "
                         "(measured 1.48x faster scene maps; patch inputs "
                         "bf16-quantised); dense = NO gather, one dilated "
-                        "whole-scene conv pass (BaseNet2 only; boundary "
-                        "semantics differ slightly from patch eval — "
-                        "99.6% prediction agreement measured)")
+                        "whole-scene conv pass (BaseNet2/CCT; "
+                        "GSPMD-sharded over the mesh incl. pods; "
+                        "boundary semantics differ slightly from patch "
+                        "eval — 99.6% prediction agreement measured)")
     p.add_argument("--gather_impl", type=str, default="xla",
                    choices=["xla", "pallas", "pallas_bf16", "pool"],
                    help="training patch-gather: XLA dynamic-slice "

@@ -252,24 +252,67 @@ class ScenePredictor:
         idx_tiles = idx.reshape(-1, per_tile)
 
         if self.gather == "dense":
-            # dense dilated whole-scene evaluation: no tiles, no gather
-            from cmlpl_tpu.core.mesh import is_multiprocess
+            # dense dilated whole-scene evaluation: no tiles, no gather.
+            # Pure XLA, so unlike the Pallas modes it partitions over the
+            # mesh with GSPMD: the padded cube's ROW dim and the
+            # spectra's pixel dim are sharded over the first mesh axis
+            # and XLA inserts the conv halo exchanges + the reshard for
+            # the shifted-view classifier folds; predictions come back
+            # replicated (fetchable on every pod host).
+            from cmlpl_tpu.core.mesh import host_to_global, is_multiprocess
 
-            if is_multiprocess(self.mesh):
-                raise ValueError("dense eval is single-process; use the "
-                                 "tiled gather modes on pods")
-            if "dense" not in self._predicts:
-                self._predicts["dense"] = jax.jit(
-                    lambda p, padded, spectra, rows, cols, w: jnp.argmax(
-                        _dense_logits(p, padded, spectra, rows, cols, w),
-                        -1).astype(jnp.int32),
-                    static_argnums=(3, 4, 5))
             if scene.patch_size % 4 != 0:
                 raise ValueError("dense eval needs patch_size % 4 == 0 "
                                  f"(got {scene.patch_size})")
+            view = _dense_params_view(params)
+
+            def dense_fn(p, padded, spectra, rows, cols, w):
+                return jnp.argmax(
+                    _dense_logits(p, padded, spectra, rows, cols, w),
+                    -1).astype(jnp.int32)
+
+            if self.mesh is not None:
+                axis = self.mesh.axis_names[0]
+                cube_sh = jax.sharding.NamedSharding(
+                    self.mesh, P(axis, None, None))
+                sp_sh = jax.sharding.NamedSharding(self.mesh,
+                                                   P(axis, None))
+                repl = jax.sharding.NamedSharding(self.mesh, P())
+                if "dense_sharded" not in self._predicts:
+                    # inputs arrive replicated (scene dims are rarely
+                    # divisible by the device count, and jax.Array
+                    # formation refuses uneven shards); the constraints
+                    # inside the jit hand GSPMD the partitioning, which
+                    # pads uneven row counts internally
+                    def dense_sharded(p, padded, spectra, rows, cols, w):
+                        padded = jax.lax.with_sharding_constraint(
+                            padded, cube_sh)
+                        spectra = jax.lax.with_sharding_constraint(
+                            spectra, sp_sh)
+                        return dense_fn(p, padded, spectra, rows, cols, w)
+
+                    self._predicts["dense_sharded"] = jax.jit(
+                        dense_sharded, static_argnums=(3, 4, 5),
+                        in_shardings=(repl, repl, repl),
+                        out_shardings=repl)
+                cube, spectra = scene.padded_pca, scene.spectra
+                if is_multiprocess(self.mesh):
+                    view = jax.tree_util.tree_map(
+                        lambda a: host_to_global(repl, jax.device_get(a)),
+                        view)
+                    cube = host_to_global(repl, jax.device_get(cube))
+                    spectra = host_to_global(repl, jax.device_get(spectra))
+                preds = self._predicts["dense_sharded"](
+                    view, cube, spectra, scene.rows, scene.cols,
+                    scene.patch_size)
+                return np.asarray(jax.device_get(preds)).reshape(-1)
+
+            if "dense" not in self._predicts:
+                self._predicts["dense"] = jax.jit(
+                    dense_fn, static_argnums=(3, 4, 5))
             preds = self._predicts["dense"](
-                _dense_params_view(params), scene.padded_pca,
-                scene.spectra, scene.rows, scene.cols, scene.patch_size)
+                view, scene.padded_pca, scene.spectra, scene.rows,
+                scene.cols, scene.patch_size)
             return np.asarray(jax.device_get(preds)).reshape(-1)
 
         cube = scene.padded_pca

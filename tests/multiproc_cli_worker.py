@@ -34,6 +34,10 @@ def main():
         "--num_unlabel", "64", "--val_batch_size", "128",
         "--dropout", "0.0", "--print_per_batches", "0",
         "--checkpoint_dir", "./ckpt", "--multihost"]
+    if algo == "cmlpl":
+        # exercise the GSPMD-sharded dense eval on the pod mesh (cps
+        # keeps the tiled global-mesh eval path covered)
+        common += ["--eval_gather", "dense"]
     acc_b, acc_e = train_main(common + ["--num_epochs", "2"])
     # pod-safe --resume: restore the 2-epoch checkpoint on every process,
     # re-place it on the global mesh (core.mesh.place_state), and train

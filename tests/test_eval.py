@@ -173,6 +173,31 @@ def test_dense_eval_matches_patch_eval(tiny_scene, tiny_splits):
                        gather="dense")({"conv0": params["conv0"]}, scene)
 
 
+def test_dense_eval_sharded_matches_single_device(tiny_scene):
+    """Dense eval GSPMD-partitions over the mesh (rows sharded inside
+    the jit via with_sharding_constraint; XLA inserts conv halo
+    exchanges) and must equal the single-device result exactly — scene
+    rows are NOT divisible by 8, exercising GSPMD's internal padding."""
+    from cmlpl_tpu.core.mesh import create_mesh, create_mesh_2d
+
+    scene = tiny_scene
+    model = BaseNet2(num_features=103, num_classes=9, n_pc=scene.n_pc)
+    params = model.init(
+        jax.random.key(3), np.zeros((1, 20, 20, scene.n_pc), np.float32),
+        np.zeros((1, 103), np.float32), train=False)["params"]
+
+    def apply(p, xp, x):
+        return model.apply({"params": p}, xp, x, train=False)[0]
+
+    ref = ScenePredictor(apply, patch_size=20, cols=scene.cols,
+                         gather="dense")(params, scene)
+    for mesh in [create_mesh(jax.devices()[:8]),
+                 create_mesh_2d(jax.devices()[:8], tp=2)]:
+        out = ScenePredictor(apply, patch_size=20, cols=scene.cols,
+                             gather="dense", mesh=mesh)(params, scene)
+        assert (out == ref).all(), dict(mesh.shape)
+
+
 def test_dense_eval_cct(tiny_scene, tiny_splits):
     """CCT dense eval: the CCT eval path is dec_base(encoder(xp, x))
     (trian_CCT.py:246 -> hyper_tools.py:462-484) and CCTNet's stem +
