@@ -64,6 +64,13 @@ def base_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="model compute dtype (params stay float32)")
+    p.add_argument("--input_dtype", type=str, default="compute",
+                   choices=["compute", "float32"],
+                   help="dtype of gathered patches/noise views at the "
+                        "dispatch boundary; 'compute' stores them in the "
+                        "compute dtype (halves their HBM traffic under "
+                        "bfloat16), 'float32' keeps the pre-r3c f32 "
+                        "inputs")
     p.add_argument("--eval_gather", type=str, default="auto",
                    choices=["auto", "xla", "pallas", "pallas_bf16",
                             "dense"],
@@ -138,6 +145,7 @@ def build_config(args, spec) -> CMLPLConfig:
         noise=args.noise,
         seed=args.seed,
         compute_dtype=args.compute_dtype,
+        input_dtype=args.input_dtype,
         rng_impl=args.rng_impl,
         gather_impl=args.gather_impl,
         extra_loss=args.extra_loss,

@@ -146,31 +146,38 @@ class CCTNet(nn.Module):
     """CCT encoder (models.py:229-287): BaseNet2 stem returning the 2624-d
     joint feature twice.  ``with_decoder`` reproduces the reference's
     compute-and-discard reconstruction (off by default — it wastes FLOPs;
-    enable to recover the decoder capability)."""
+    enable to recover the decoder capability).
+
+    ``dtype``: compute dtype for the stem conv/dense layers (params stay
+    f32); the joint feature is promoted back to f32 so the decoder heads
+    and the JS-loss math keep reference numerics.
+    """
 
     num_features: int = 103
     dropout: float = 0.0
     num_classes: int = 9
     n_pc: int = 60
     with_decoder: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xp, x, *, train: bool = False):
-        h = tconv(64, (1, 1), self.n_pc, name="conv0")(xp)
+        dt = self.dtype
+        h = tconv(64, (1, 1), self.n_pc, name="conv0", dtype=dt)(xp)
         res = h
-        h = tconv(64, (3, 3), 64, padding=1, name="conv1")(h)
+        h = tconv(64, (3, 3), 64, padding=1, name="conv1", dtype=dt)(h)
         h = nn.relu(h + res)
         h = avg_pool2(h)
         res = h
-        h = tconv(64, (3, 3), 64, padding=1, name="conv2")(h)
+        h = tconv(64, (3, 3), 64, padding=1, name="conv2", dtype=dt)(h)
         h = nn.relu(h + res)
         h = avg_pool2(h)
         h = h.reshape(h.shape[0], -1)
 
-        y = tdense(1024, self.num_features, name="feat_spe")(x)
+        y = tdense(1024, self.num_features, name="feat_spe", dtype=dt)(x)
         y = nn.relu(y)
 
-        fea1 = jnp.concatenate([h, y], axis=1)
+        fea1 = jnp.concatenate([h, y], axis=1).astype(jnp.float32)
         if self.with_decoder:
             fea = tdense(256, fea1.shape[-1], name="feat_ss")(fea1)
             recon = Decoder(self.num_features, self.n_pc, name="decoder")(fea)

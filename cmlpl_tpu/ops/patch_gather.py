@@ -259,6 +259,19 @@ def poolify_batches(lab_idx, unl_idx, bucket: int = 512):
     return pool.astype(np.int32), li_pos, ui_pos
 
 
+def make_input_cast(compute_dtype: str, input_dtype: str):
+    """Cast applied to gathered patches/spectra at the dispatch boundary
+    (``CMLPLConfig.input_dtype``).  Identity unless compute_dtype is
+    bfloat16 AND input_dtype is "compute" — then the patch pool / noise
+    views are stored in bf16, halving their HBM traffic (the layers cast
+    their inputs to bf16 anyway; only the rounding point moves)."""
+    if compute_dtype == "bfloat16" and input_dtype == "compute":
+        return lambda a: a.astype(jnp.bfloat16)
+    if input_dtype not in ("compute", "float32"):
+        raise ValueError(f"unknown input_dtype {input_dtype!r}")
+    return lambda a: a
+
+
 def make_train_gather(gather_impl: str, n_pc: int):
     """(prep_cube, gather) pair implementing the training gather knob
     (``CMLPLConfig.gather_impl``) for any trainer's fused step.

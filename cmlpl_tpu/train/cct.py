@@ -66,7 +66,9 @@ class CCTTrainer(EpochDriver):
         self._donate = (0,) if donate else ()
         self.encoder = CCTNet(
             num_features=config.num_features, dropout=config.dropout,
-            num_classes=config.num_classes, n_pc=config.n_pc)
+            num_classes=config.num_classes, n_pc=config.n_pc,
+            dtype=(jnp.bfloat16 if config.compute_dtype == "bfloat16"
+                   else None))
         joint = 64 * (config.patch_size // 4) ** 2 + 1024
         self.head = LinearClassifier(config.num_classes, in_features=joint)
         self.opt_base = optax.adam(config.lr)
@@ -137,7 +139,14 @@ class CCTTrainer(EpochDriver):
         encoder = self.encoder
         head = self.head
 
-        from cmlpl_tpu.ops.patch_gather import make_train_gather
+        from cmlpl_tpu.ops.patch_gather import (
+            make_input_cast,
+            make_train_gather,
+        )
+
+        # input/view dtype at the dispatch boundary (state.py input_dtype);
+        # the feature-space perturbations stay f32 (fea1 is promoted)
+        in_cast = make_input_cast(cfg.compute_dtype, cfg.input_dtype)
 
         pool_mode = cfg.gather_impl == "pool"
         if pool_mode:
@@ -160,10 +169,10 @@ class CCTTrainer(EpochDriver):
             rng, k_noise, k_drop = jax.random.split(state.rng, 3)
             nk = jax.random.split(k_noise, 6)
 
-            xp_l = gather_xp(padded, lab_idx, cols, w)
-            x_l = gather_spectra(spectra, lab_idx)
-            xp_u = gather_xp(padded, unl_idx, cols, w)
-            x_u = gather_spectra(spectra, unl_idx)
+            xp_l = in_cast(gather_xp(padded, lab_idx, cols, w))
+            x_l = in_cast(gather_spectra(spectra, lab_idx))
+            xp_u = in_cast(gather_xp(padded, unl_idx, cols, w))
+            x_u = in_cast(gather_spectra(spectra, unl_idx))
 
             def noisy(k, a, scale=cfg.noise):
                 return a + jax.random.normal(k, a.shape, a.dtype) * scale
@@ -253,9 +262,11 @@ class CCTTrainer(EpochDriver):
             def make_entry(core):
                 def entry(state, padded, spectra, pool_idx, li, ly, ui,
                           cols):
-                    xp_pool = bulk_gather(padded, pool_idx, cols,
-                                          cfg.patch_size)
-                    x_pool = jnp.take(spectra, pool_idx, axis=0)
+                    # cast on the pool so per-step takes read the
+                    # narrow dtype (state.py input_dtype)
+                    xp_pool = in_cast(bulk_gather(padded, pool_idx, cols,
+                                                  cfg.patch_size))
+                    x_pool = in_cast(jnp.take(spectra, pool_idx, axis=0))
                     return core(state, xp_pool, x_pool, li, ly, ui, cols)
                 return entry
 

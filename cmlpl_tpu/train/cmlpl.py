@@ -184,7 +184,13 @@ class CMLPLTrainer(EpochDriver):
             return model.apply({"params": params}, xp, x, train=True,
                                rngs={"dropout": drop_rng})
 
-        from cmlpl_tpu.ops.patch_gather import make_train_gather
+        from cmlpl_tpu.ops.patch_gather import (
+            make_input_cast,
+            make_train_gather,
+        )
+
+        # input/view dtype at the dispatch boundary (state.py input_dtype)
+        in_cast = make_input_cast(cfg.compute_dtype, cfg.input_dtype)
 
         pool_mode = cfg.gather_impl == "pool"
         if pool_mode:
@@ -225,10 +231,10 @@ class CMLPLTrainer(EpochDriver):
 
             # on-device gather (train.py:156-167 did host->device copies);
             # ``padded`` arrives pre-prepped (prep_cube) from the entry fns
-            xp_l = gather_xp(padded, lab_idx, cols, w)
-            x_l = gather_spectra(spectra, lab_idx)
-            xp_u = gather_xp(padded, unl_idx, cols, w)
-            x_u = gather_spectra(spectra, unl_idx)
+            xp_l = in_cast(gather_xp(padded, lab_idx, cols, w))
+            x_l = in_cast(gather_spectra(spectra, lab_idx))
+            xp_u = in_cast(gather_xp(padded, unl_idx, cols, w))
+            x_u = in_cast(gather_spectra(spectra, unl_idx))
 
             if cfg.augment:
                 # opt-in patch augmentations (hsi_loader.py:58-107)
@@ -460,9 +466,12 @@ class CMLPLTrainer(EpochDriver):
             # the bulk gather + spectra pooling runs ONCE per dispatch
             # and the scans index rows by pool position
             def pool_inputs(padded, spectra, pool_idx, cols):
-                xp_pool = bulk_gather(padded, pool_idx, cols,
-                                      cfg.patch_size)
-                return xp_pool, jnp.take(spectra, pool_idx, axis=0)
+                # the cast runs here, on the ~10k-row pool, so the
+                # per-step row takes read the narrow dtype from HBM
+                xp_pool = in_cast(bulk_gather(padded, pool_idx, cols,
+                                              cfg.patch_size))
+                return xp_pool, in_cast(jnp.take(spectra, pool_idx,
+                                                 axis=0))
 
             def step_entry(state, padded, spectra, pool_idx, lab_idx,
                            lab_y, unl_idx, adap_mask_thr, warm, cols):

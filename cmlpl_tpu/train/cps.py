@@ -130,7 +130,13 @@ class CPSTrainer(EpochDriver):
             return model.apply({"params": params}, xp, x, train=True,
                                rngs={"dropout": drop_rng})
 
-        from cmlpl_tpu.ops.patch_gather import make_train_gather
+        from cmlpl_tpu.ops.patch_gather import (
+            make_input_cast,
+            make_train_gather,
+        )
+
+        # input/view dtype at the dispatch boundary (state.py input_dtype)
+        in_cast = make_input_cast(cfg.compute_dtype, cfg.input_dtype)
 
         pool_mode = cfg.gather_impl == "pool"
         if pool_mode:
@@ -155,10 +161,10 @@ class CPSTrainer(EpochDriver):
             rng, k_noise, k_db, k_de = jax.random.split(state.rng, 4)
             nk = jax.random.split(k_noise, 8)
 
-            xp_l = gather_xp(padded, lab_idx, cols, w)
-            x_l = gather_spectra(spectra, lab_idx)
-            xp_u = gather_xp(padded, unl_idx, cols, w)
-            x_u = gather_spectra(spectra, unl_idx)
+            xp_l = in_cast(gather_xp(padded, lab_idx, cols, w))
+            x_l = in_cast(gather_spectra(spectra, lab_idx))
+            xp_u = in_cast(gather_xp(padded, unl_idx, cols, w))
+            x_u = in_cast(gather_spectra(spectra, unl_idx))
 
             def noisy(k, a):
                 return a + jax.random.normal(k, a.shape, a.dtype) * cfg.noise
@@ -230,9 +236,11 @@ class CPSTrainer(EpochDriver):
             def make_entry(core):
                 def entry(state, padded, spectra, pool_idx, li, ly, ui,
                           cols):
-                    xp_pool = bulk_gather(padded, pool_idx, cols,
-                                          cfg.patch_size)
-                    x_pool = jnp.take(spectra, pool_idx, axis=0)
+                    # cast on the pool so per-step takes read the
+                    # narrow dtype (state.py input_dtype)
+                    xp_pool = in_cast(bulk_gather(padded, pool_idx, cols,
+                                                  cfg.patch_size))
+                    x_pool = in_cast(jnp.take(spectra, pool_idx, axis=0))
                     return core(state, xp_pool, x_pool, li, ly, ui, cols)
                 return entry
 

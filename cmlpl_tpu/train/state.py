@@ -41,6 +41,18 @@ class CMLPLConfig:
     seed: int = 1088
     # performance knobs (defaults preserve reference numerics)
     compute_dtype: str = "float32"   # "bfloat16" for MXU-native compute
+    # dtype of the gathered patches / spectra / Gaussian-noise views at
+    # the dispatch boundary:
+    #   "compute"  (default) store them in the compute dtype — under
+    #              compute_dtype="bfloat16" the patch pool, the per-step
+    #              row takes, and the 8 noise views live in bf16, halving
+    #              their HBM traffic.  The values the convs see are the
+    #              same precision class either way (the f32-input path
+    #              casts to bf16 inside each layer); only the rounding
+    #              point moves.  No-op when compute_dtype="float32".
+    #   "float32"  keep inputs/views f32 (the pre-r3c behaviour of the
+    #              bf16 knob — kept for A/B).
+    input_dtype: str = "compute"
     rng_impl: str = "threefry2x32"   # "rbg" is much faster on TPU
     # training patch-gather implementation:
     #   "xla"         vmapped dynamic_slice (default; reference numerics)

@@ -118,3 +118,25 @@ def test_basenet2_other_patch_sizes(w):
     params = model.init(jax.random.key(0), xp, x, train=False)["params"]
     logits, _ = model.apply({"params": params}, xp, x, train=False)
     assert logits.shape == (2, 5)
+
+
+def test_cctnet_bf16_compute_promotes_features():
+    """r3c: CCTNet accepts a compute dtype (the bf16 knob silently
+    no-op'd for the CCT trainer before) and promotes the joint feature
+    back to f32 for the decoder-head / JS-loss math."""
+    import jax.numpy as jnp
+
+    model = CCTNet(num_features=103, num_classes=9, n_pc=16,
+                   dtype=jnp.bfloat16)
+    xp = jnp.ones((2, 20, 20, 16))
+    x = jnp.ones((2, 103))
+    params = model.init(jax.random.key(0), xp, x, train=False)["params"]
+    f1, f2 = model.apply({"params": params}, xp, x, train=False)
+    assert f1.dtype == jnp.float32 and f2.dtype == jnp.float32
+    # params stay f32 (flax param_dtype default)
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree_util.tree_leaves(params))
+    # bf16 compute tracks the f32 forward
+    model32 = CCTNet(num_features=103, num_classes=9, n_pc=16)
+    g1, _ = model32.apply({"params": params}, xp, x, train=False)
+    assert jnp.allclose(f1, g1, rtol=2e-2, atol=2e-2)
