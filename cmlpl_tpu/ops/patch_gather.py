@@ -222,6 +222,36 @@ def gather_patches_pallas_shifted(cube8: jax.Array, pixel_idx: jax.Array,
     return out[:, :, :w, :]
 
 
+#: HBM budget for the pre-gathered training pool under gather_impl
+#: "auto" — the pool is worth its footprint (+22.6% measured,
+#: docs/BENCHMARKS.md "pre-gathered-pool") only while it stays a small
+#: fraction of a chip's HBM (v5e: 16 GB).  At the reference schedule the
+#: pool is ~0.97 GB, far under this.
+POOL_AUTO_BUDGET_BYTES = 2 << 30
+
+
+def resolve_gather_impl(gather_impl: str, *, num_unlabel: int,
+                        patch_size: int, n_pc: int,
+                        pool_supported: bool = True) -> str:
+    """Resolve the "auto" training-gather knob to a concrete impl.
+
+    "auto" (the default since r3d) picks the pre-gathered-pool path —
+    numerically identical to "xla" (same patch values, same math;
+    equality pinned in tests) and +22.6% measured — whenever the trainer
+    supports it and the pool's worst-case f32 footprint
+    (unique schedule pixels ~ num_unlabel + labeled + bucket padding)
+    fits POOL_AUTO_BUDGET_BYTES; otherwise the HBM-free per-step "xla"
+    dynamic-slice gather.  Explicit impl names pass through untouched.
+    """
+    if gather_impl != "auto":
+        return gather_impl
+    if not pool_supported:
+        return "xla"
+    pool_rows = num_unlabel + 1024  # labeled uniques + bucket padding
+    pool_bytes = pool_rows * patch_size * patch_size * n_pc * 4
+    return "pool" if pool_bytes <= POOL_AUTO_BUDGET_BYTES else "xla"
+
+
 def check_gather_mesh(gather_impl: str, mesh) -> None:
     """pallas_call can't be GSPMD-partitioned (multi-chip inference uses
     shard_map instead, eval/inference.py); the training steps are

@@ -21,6 +21,7 @@ TPU-native (behaviour-preserving):
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Tuple
 
 import jax
@@ -65,6 +66,14 @@ class CMLPLTrainer(EpochDriver):
         """``donate=False`` keeps input state buffers alive (useful in
         tests that inspect the pre-step state; training loops should
         donate for buffer reuse)."""
+        from cmlpl_tpu.ops.patch_gather import (
+            check_gather_mesh,
+            resolve_gather_impl,
+        )
+
+        config = dataclasses.replace(config, gather_impl=resolve_gather_impl(
+            config.gather_impl, num_unlabel=config.num_unlabel,
+            patch_size=config.patch_size, n_pc=config.n_pc))
         self.config = config
         self.mesh = mesh
 
@@ -75,8 +84,6 @@ class CMLPLTrainer(EpochDriver):
                     f"labeled/unlabeled batch sizes "
                     f"({config.labeled_batch}/{config.unlabeled_batch}) "
                     f"must be divisible by the mesh data-axis size {d}")
-        from cmlpl_tpu.ops.patch_gather import check_gather_mesh
-
         check_gather_mesh(config.gather_impl, mesh)
         from cmlpl_tpu.core.mesh import is_multiprocess
 

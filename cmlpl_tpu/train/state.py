@@ -55,19 +55,27 @@ class CMLPLConfig:
     input_dtype: str = "compute"
     rng_impl: str = "threefry2x32"   # "rbg" is much faster on TPU
     # training patch-gather implementation:
-    #   "xla"         vmapped dynamic_slice (default; reference numerics)
+    #   "auto"        (default) resolve at trainer construction: "pool"
+    #                 when the trainer supports it and the pool fits the
+    #                 HBM budget (ops/patch_gather.resolve_gather_impl),
+    #                 else "xla".  Both resolutions are numerically
+    #                 identical, so the reference-numerics default is
+    #                 preserved.
+    #   "xla"         vmapped dynamic_slice (reference numerics, zero
+    #                 extra HBM)
     #   "pallas"      Pallas DMA gather, f32 cube lane-padded 60->128 ch
     #                 (moves 2.1x the bytes; measured slower — kept for A/B)
     #   "pallas_bf16" Pallas DMA gather from a bf16 cube (halves DMA bytes;
     #                 patches upcast to f32 after the gather, so all
     #                 training math stays f32 — only the patch INPUT
     #                 precision changes)
-    #   "pool"        (CMLPL trainer only) bulk-gather the unique training
-    #                 pool once per dispatch (~10,045 patches ~ 0.97 GB
-    #                 HBM at the reference schedule); in-scan gathers
-    #                 become contiguous row takes.  Numerically identical
-    #                 to "xla" (same patch values, same math).
-    gather_impl: str = "xla"
+    #   "pool"        (CMLPL/CPS/CCT trainers) bulk-gather the unique
+    #                 training pool once per dispatch (~10,045 patches ~
+    #                 0.97 GB HBM at the reference schedule); in-scan
+    #                 gathers become contiguous row takes.  Numerically
+    #                 identical to "xla" (same patch values, same math);
+    #                 +22.6% measured (docs/BENCHMARKS.md).
+    gather_impl: str = "auto"
     # Stack the two networks' forwards into ONE set of batched kernels
     # (jax.vmap over a net axis: each conv/matmul runs once at 2x batch
     # instead of twice).  Numerically identical to the unstacked path

@@ -42,7 +42,7 @@ class SupervisedTrainer:
     def __init__(self, model, entry, *, lr: float = 5e-4,
                  patch_size: int, n_pc: int, num_features: int,
                  mesh: Optional[Mesh] = None, augment: bool = False,
-                 donate: bool = True, gather_impl: str = "xla",
+                 donate: bool = True, gather_impl: str = "auto",
                  ema_alpha: float = 0.0):
         self.model = model
         self.entry = entry            # ZooEntry: inputs/returns_feature
@@ -51,10 +51,17 @@ class SupervisedTrainer:
         self.num_features = num_features
         self.mesh = mesh
         self.augment = augment
-        self.gather_impl = gather_impl
-        self.ema_alpha = float(ema_alpha)
-        from cmlpl_tpu.ops.patch_gather import check_gather_mesh
+        from cmlpl_tpu.ops.patch_gather import (
+            check_gather_mesh,
+            resolve_gather_impl,
+        )
 
+        # labeled-only epochs have no pre-gathered-pool path (the whole
+        # labeled set is ~45 pixels); "auto" resolves to the plain gather
+        self.gather_impl = gather_impl = resolve_gather_impl(
+            gather_impl, num_unlabel=0, patch_size=patch_size, n_pc=n_pc,
+            pool_supported=False)
+        self.ema_alpha = float(ema_alpha)
         check_gather_mesh(gather_impl, mesh)
         from cmlpl_tpu.core.mesh import is_multiprocess
 
