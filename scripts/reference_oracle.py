@@ -127,6 +127,20 @@ def reference_args(args, dataID: int = 1) -> argparse.Namespace:
 
 _REF_MODULES = {"cmlpl": "train", "cps": "trian_CPS", "cct": "trian_CCT"}
 
+#: A/B scene geometries.  Each entry picks the registry spec whose
+#: (num_classes, num_bands) the synthetic scene copies, the dataID our
+#: CLIs run with, and the reference's hard-coded dataID + dataset dir
+#: (train.py:75-90, hsi_loader.py:8-17) the materialised .npy set must
+#: appear under.  The scene ITSELF stays the small hard-recipe synthetic
+#: (rows/cols/noise_std/class_sep flags) — geometry varies the
+#: class-count/band-count axis the PaviaU shape can't.
+GEOMETRIES = {
+    "paviau": {"syn_spec": 0, "ours_id": "0", "ref_id": 1,
+               "dirname": "PaviaU"},      # 9 classes, 103 bands
+    "salinas": {"syn_spec": 2, "ours_id": "2", "ref_id": 2,
+                "dirname": "Salinas"},    # 16 classes, 204 bands
+}
+
 
 def run_reference(algo: str, args, workdir: str) -> dict:
     """Execute the reference main() N times; returns OA lists + timing."""
@@ -156,7 +170,8 @@ def run_reference(algo: str, args, workdir: str) -> dict:
             records.clear()
             mod.seed_torch(args.seed0 + s)
             t0 = time.time()
-            mod.main(reference_args(args))
+            mod.main(reference_args(
+                args, dataID=GEOMETRIES[args.geometry]["ref_id"]))
             secs.append(time.time() - t0)
             oa_a.append(float(records[0][0]) * 100)
             if len(records) > 1:  # CCT evaluates a single network
@@ -191,7 +206,8 @@ def run_ours(algo: str, args, workdir: str, splits_dir: str,
         oa_a, oa_b, secs = [], [], []
         for s in range(args.seeds):
             flags = [
-                "--dataID", "0", "--n_PC", "60", "--w", "20",
+                "--dataID", GEOMETRIES[args.geometry]["ours_id"],
+                "--n_PC", "60", "--w", "20",
                 "--scene_npz", scene_npz,
                 "--splits_dir", splits_dir,
                 "--num_label", str(args.num_label),
@@ -230,23 +246,27 @@ def materialize(args, workdir: str):
     reference's .npy layout; returns (dataset dir, scene npz path)."""
     from cmlpl_tpu.cli.sample_generation import main as sample_main
     from cmlpl_tpu.data import synthetic_scene
+    from cmlpl_tpu.registry import get_dataset
 
-    cube, gt = synthetic_scene(0, rows=args.rows, cols=args.cols,
-                               noise_std=args.noise_std,
+    geom = GEOMETRIES[args.geometry]
+    cube, gt = synthetic_scene(geom["syn_spec"], rows=args.rows,
+                               cols=args.cols, noise_std=args.noise_std,
                                class_sep=args.class_sep)
     scene_npz = os.path.join(workdir, "scene.npz")
     np.savez(scene_npz, cube=cube, gt=gt)
 
     data_root = os.path.join(workdir, "dataset")
-    sample_main(["--dataID", "0", "--num_label", str(args.num_label),
+    sample_main(["--dataID", geom["ours_id"],
+                 "--num_label", str(args.num_label),
                  "--w", "20", "--n_PC", "60", "--data_root", data_root,
                  "--scene_npz", scene_npz, "--materialize_patches"])
-    # the reference hard-codes ./dataset/PaviaU/ for dataID 1 (the
-    # 9-class/103-band shape this synthetic scene matches)
-    pavia = os.path.join(data_root, "PaviaU")
-    if not os.path.exists(pavia):
-        os.symlink(os.path.join(data_root, "Synthetic"), pavia)
-    return pavia, scene_npz
+    # the reference hard-codes ./dataset/<dirname>/ per dataID
+    # (train.py:75-90); point it at the materialised set
+    written = os.path.join(data_root, get_dataset(geom["ours_id"]).name)
+    target = os.path.join(data_root, geom["dirname"])
+    if not os.path.exists(target):
+        os.symlink(written, target)
+    return target, scene_npz
 
 
 def verdict(ref: dict, ours: dict) -> dict:
@@ -291,6 +311,12 @@ def main(argv=None):
     p.add_argument("--cols", type=int, default=48)
     p.add_argument("--noise_std", type=float, default=1.2)
     p.add_argument("--class_sep", type=float, default=0.35)
+    p.add_argument("--geometry", default="paviau",
+                   choices=sorted(GEOMETRIES),
+                   help="scene class-count/band-count geometry: paviau "
+                        "= 9 classes x 103 bands (reference dataID 1), "
+                        "salinas = 16 x 204 (dataID 2); the spatial "
+                        "size stays --rows x --cols")
     p.add_argument("--skip_ref", action="store_true")
     p.add_argument("--skip_ours", action="store_true")
     p.add_argument("--ref_json", type=str, default=None,
@@ -343,7 +369,8 @@ def main(argv=None):
                      "num_label": args.num_label},
                  "scene": {"rows": args.rows, "cols": args.cols,
                            "noise_std": args.noise_std,
-                           "class_sep": args.class_sep}}
+                           "class_sep": args.class_sep,
+                           "geometry": args.geometry}}
         if args.ours_flags:
             entry["ours_flags"] = list(args.ours_flags)
         if not args.skip_ref:
