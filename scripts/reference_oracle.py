@@ -139,6 +139,12 @@ GEOMETRIES = {
                "dirname": "PaviaU"},      # 9 classes, 103 bands
     "salinas": {"syn_spec": 2, "ours_id": "2", "ref_id": 2,
                 "dirname": "Salinas"},    # 16 classes, 204 bands
+    "houston": {"syn_spec": 3, "ours_id": "3", "ref_id": 3,
+                "dirname": "Houston"},    # 15 classes, 144 bands
+    # Indian Pines trains from the same materialised .npy set — the
+    # reference's hdf5storage loader (stubbed) is only for raw .mat prep
+    "indian": {"syn_spec": 4, "ours_id": "4", "ref_id": 4,
+               "dirname": "Indian_pines"},  # 16 classes, 200 bands
 }
 
 
