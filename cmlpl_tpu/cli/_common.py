@@ -124,6 +124,12 @@ def base_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_iters", type=int, default=1,
                    help="repeat training num_iters times and report "
                         "mean±std (reference train.py:116 index_iter loop)")
+    p.add_argument("--fused_iters", action="store_true",
+                   help="run all --num_iters training runs as ONE vmapped "
+                        "dispatch with the seed axis sharded over the mesh "
+                        "data axis (identical results to the serial loop; "
+                        "incompatible with --resume/--profile_dir/"
+                        "--checkpoint_every)")
     return p
 
 

@@ -51,6 +51,55 @@ def main(argv=None):
     state = None
     import jax
 
+    if args.fused_iters and args.num_iters > 1:
+        # all --num_iters runs as ONE vmapped dispatch, seeds sharded
+        # over the mesh data axis; identical results to the serial loop
+        # below (pinned by tests/test_multi_run.py)
+        if args.resume or args.profile_dir or args.checkpoint_every:
+            raise SystemExit("--fused_iters is incompatible with "
+                             "--resume/--profile_dir/--checkpoint_every")
+        import numpy as np
+
+        t0 = time.time()
+        ms, metrics = trainer.train_multi_run(rng, scene, sampler,
+                                              args.num_iters)
+        jax.block_until_ready(ms)
+        print(f"fused {args.num_iters}-seed training time == "
+              f"{time.time() - t0:.3f}s")
+        from cmlpl_tpu.cli._common import save_history
+
+        m0 = jax.device_get(jax.tree_util.tree_map(lambda a: a[0], metrics))
+        save_history(args, [
+            {k: v.reshape(-1)[j] for k, v in m0.items()}
+            for j in range(next(iter(m0.values())).size)])
+
+        for i in range(args.num_iters):
+            params_b = jax.tree_util.tree_map(lambda a: a[i],
+                                              ms.net_b.params)
+            params_e = jax.tree_util.tree_map(lambda a: a[i],
+                                              ms.net_e.params)
+            pred_b = predictor(params_b, scene)
+            pred_e = predictor(params_e, scene)
+            acc_b = cal_accuracy(pred_b[splits.test], y_test)
+            acc_e = cal_accuracy(pred_e[splits.test], y_test)
+            report_accuracy("net B", acc_b)
+            report_accuracy("net E", acc_e)
+            runs_b.append(acc_b)
+            runs_e.append(acc_e)
+            if is_primary():
+                save_class_map(
+                    os.path.join(out,
+                                 f"CMLPL_OA_{int(acc_b.oa * 10000)}.svg"),
+                    pred_b + 1, spec, rows=scene.rows, cols=scene.cols)
+        state = jax.tree_util.tree_map(lambda a: a[-1], ms)
+        if is_primary():
+            save_report(os.path.join(out, "cmlpl_results.csv"),
+                        runs_b, runs_e)
+        oas = np.array([r.oa for r in runs_b])
+        print(f"mean_OA ± std_OA is: {oas.mean()} ± {oas.std()}")
+        save_final_checkpoint(args, state)
+        return runs_b[-1], runs_e[-1]
+
     for index_iter in range(args.num_iters):
         state = trainer.init_state(jax.random.fold_in(rng, index_iter))
         start_epoch = 0

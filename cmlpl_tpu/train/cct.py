@@ -296,6 +296,7 @@ class CCTTrainer(EpochDriver):
             static = (6,)
             extra = ()
 
+        self._raw_run = run_entry  # train_multi_run vmaps this
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             batch_sh = NamedSharding(self.mesh, P("data"))

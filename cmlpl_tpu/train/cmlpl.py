@@ -501,6 +501,7 @@ class CMLPLTrainer(EpochDriver):
                 return run_core(state, xp_pool, x_pool, lab_idx, lab_y,
                                 unl_idx, adap_per_epoch, cols)
 
+            self._raw_run = run_fn  # train_multi_run vmaps this
             if self.mesh is not None:
                 repl = NamedSharding(self.mesh, P())
                 batch_sh = NamedSharding(self.mesh, P("data"))
@@ -548,6 +549,7 @@ class CMLPLTrainer(EpochDriver):
             return run_core(state, prep_cube(padded), spectra, lab_idx,
                             lab_y, unl_idx, adap_per_epoch, cols)
 
+        self._raw_run = run_fn  # train_multi_run vmaps this
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             batch_sh = NamedSharding(self.mesh, P("data"))
@@ -587,6 +589,14 @@ class CMLPLTrainer(EpochDriver):
                         donate_argnums=self._donate))
 
     # ------------------------------------------------------------------ #
+    def _run_extras(self):
+        """Per-epoch adaptive-threshold vector, replicated across the
+        seed axis of a fused multi-seed run (train.py:147-148 computes
+        it from the epoch number only, so it is seed-independent)."""
+        return (np.asarray([self._adaptive_thr(e)
+                            for e in range(self.config.num_epochs)],
+                           np.float32),)
+
     def _adaptive_thr(self, epoch: int) -> float:
         cfg = self.config
         return float(np.exp(-0.5 * (epoch / cfg.num_epochs) ** 2)) * cfg.thr

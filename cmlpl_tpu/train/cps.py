@@ -270,6 +270,7 @@ class CPSTrainer(EpochDriver):
             static = (6,)
             extra = ()
 
+        self._raw_run = run_entry  # train_multi_run vmaps this
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             batch_sh = NamedSharding(self.mesh, P("data"))

@@ -22,7 +22,9 @@ for the adaptive threshold; CPS/CCT ignore it) and ``_format_log``.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def stack_schedule(sampler, num_epochs: int):
@@ -54,6 +56,164 @@ class EpochDriver:
         return (f"Epoch {epoch + 1}/{self.config.num_epochs}: "
                 f"{batch_index + 1}/{num_batches} {parts} "
                 f"acc={m.get('acc', float('nan')) * 100:.2f}")
+
+    # -- fused multi-seed runs ------------------------------------------- #
+    def _run_extras(self):
+        """Per-run replicated arrays appended between the batch arrays and
+        the static ``cols`` in the raw run entry's signature (CMLPL's
+        per-epoch adaptive-threshold vector; empty for CPS/CCT)."""
+        return ()
+
+    def _multi_state_sh(self, shard_seed: bool):
+        """State shardings for the seed-stacked tree: every leaf is
+        sharded on its leading seed dim over ``data`` (when divisible)
+        and replicated otherwise.  Tensor-parallel specs are deliberately
+        NOT composed with the seed axis: inside the shard_map body each
+        seed's run is the complete unpartitioned program (TP would need
+        collectives inside the body); use the serial --num_iters loop
+        when dp x tp sharding is the point."""
+        lead = "data" if shard_seed else None
+        sh = NamedSharding(self.mesh, P(lead))
+        return jax.tree_util.tree_map(lambda _: sh, self._state_sh)
+
+    def _get_multi_fn(self, num_iters: int, cols: int, pool_mode: bool,
+                      n_extras: int):
+        """Cached fused multi-seed entry: ``vmap(raw_run)`` over a leading
+        seed axis.
+
+        On a mesh with a divisible seed count the seed axis is placed via
+        ``shard_map`` — each device runs the UNPARTITIONED vmapped program
+        on its local seed block.  Deliberately NOT GSPMD in_shardings:
+        letting the partitioner shard the vmapped (batch-grouped) convs
+        MISCOMPILES on XLA:CPU — a sharded vmap-over-weights 1x1 conv
+        returns wrong values outright (sum -392 vs +409 on a 2-device
+        mesh; 3x3 convs are exact, the unsharded vmap matches the serial
+        loop bitwise — minimally reproduced 2026-08-17, jax 0.9.0).
+        shard_map sidesteps the partitioner entirely and is also the
+        honest expression of an embarrassingly parallel axis.
+        """
+        cache = getattr(self, "_multi_cache", None)
+        if cache is None:
+            cache = self._multi_cache = {}
+        key = (num_iters, cols)
+        if key in cache:
+            return cache[key]
+
+        raw = self._raw_run
+
+        def bound(*a):
+            return raw(*a, cols)
+
+        in_axes = ((0, None, None) + ((0,) if pool_mode else ())
+                   + (0, 0, 0) + (None,) * n_extras)
+        vf = jax.vmap(bound, in_axes=in_axes)
+        if self.mesh is None:
+            fn = jax.jit(vf, donate_argnums=self._donate)
+        else:
+            d = dict(zip(self.mesh.axis_names,
+                         self.mesh.devices.shape)).get("data", 1)
+            shard_seed = num_iters % d == 0
+            repl = NamedSharding(self.mesh, P())
+            state_sh = self._multi_state_sh(shard_seed)
+            if shard_seed:
+                seed = P("data")
+                in_specs = ((seed, P(), P())
+                            + ((seed,) if pool_mode else ())
+                            + (seed, seed, seed) + (P(),) * n_extras)
+                body = jax.shard_map(vf, mesh=self.mesh,
+                                     in_specs=in_specs,
+                                     out_specs=(seed, seed),
+                                     check_vma=False)
+                seed_sh = NamedSharding(self.mesh, seed)
+                in_sh = ((state_sh, repl, repl)
+                         + ((seed_sh,) if pool_mode else ())
+                         + (seed_sh, seed_sh, seed_sh)
+                         + (repl,) * n_extras)
+                fn = jax.jit(body, in_shardings=in_sh,
+                             out_shardings=(state_sh, seed_sh),
+                             donate_argnums=self._donate)
+            else:
+                # replicated fallback: every device runs all seeds (no
+                # sharded operands -> nothing for the partitioner to get
+                # wrong; equality vs the single-device path is pinned in
+                # tests/test_multi_run.py)
+                in_sh = ((state_sh, repl, repl)
+                         + ((repl,) if pool_mode else ())
+                         + (repl, repl, repl) + (repl,) * n_extras)
+                fn = jax.jit(vf, in_shardings=in_sh,
+                             out_shardings=(state_sh, repl),
+                             donate_argnums=self._donate)
+        cache[key] = fn
+        return fn
+
+    def train_multi_run(self, rng, scene, sampler, num_iters: int):
+        """ALL ``num_iters`` independent training runs as ONE dispatch.
+
+        The reference repeats its whole train/eval loop serially per
+        iteration (train.py:72, ``for index_iter in range(num_iters)``)
+        to report mean±std OA; here the runs are independent by
+        construction, so the whole-run entry is ``jax.vmap``-ed over a
+        leading seed axis and the seed axis is sharded over the mesh's
+        ``data`` axis (when divisible) — N seeds on N devices cost one
+        run's wall time, and even on one chip the runs share a single
+        dispatch/compile.  Per-seed init and schedule draws replay the
+        serial CLI loop exactly (``fold_in(rng, i)`` init, schedules
+        drawn iter-major from the same host sampler), so results are
+        the serial path's, just stacked: returns ``(state, metrics)``
+        with a leading ``num_iters`` dim on every leaf.
+        """
+        cfg = self.config
+        states = [self._make_state(jax.random.fold_in(rng, i))
+                  for i in range(num_iters)]
+        state = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+        scheds = [stack_schedule(sampler, cfg.num_epochs)
+                  for _ in range(num_iters)]
+        li = np.stack([s[0] for s in scheds])
+        ly = np.stack([s[1] for s in scheds])
+        ui = np.stack([s[2] for s in scheds])
+
+        pool_mode = cfg.gather_impl == "pool"
+        pool_args = []
+        seed_spec = P("data")
+        if self.mesh is not None:
+            d = dict(zip(self.mesh.axis_names,
+                         self.mesh.devices.shape)).get("data", 1)
+            if num_iters % d:
+                seed_spec = P()
+        if pool_mode:
+            from cmlpl_tpu.ops.patch_gather import poolify_batches
+
+            pools, lis, uis = [], [], []
+            for i in range(num_iters):
+                p, lp, up = poolify_batches(li[i], ui[i])
+                pools.append(p)
+                lis.append(lp)
+                uis.append(up)
+            plen = max(len(p) for p in pools)
+            pools = [np.concatenate(
+                [p, np.full(plen - len(p), p[0], p.dtype)]) for p in pools]
+            pool_args = [self._put(np.stack(pools), seed_spec)]
+            li, ui = np.stack(lis), np.stack(uis)
+
+        extras = tuple(self._put(e, P()) for e in self._run_extras())
+        fn = self._get_multi_fn(num_iters, scene.cols, pool_mode,
+                                len(extras))
+        if self.mesh is not None:
+            shard_seed = seed_spec != P()
+            state = self._place_multi_state(state, shard_seed)
+        return fn(state, self._put(scene.padded_pca, P()),
+                  self._put(scene.spectra, P()), *pool_args,
+                  self._put(li, seed_spec), self._put(ly, seed_spec),
+                  self._put(ui, seed_spec), *extras)
+
+    def _place_multi_state(self, state, shard_seed: bool):
+        sh = self._multi_state_sh(shard_seed)
+        if self._multiproc:
+            from cmlpl_tpu.core.mesh import host_to_global
+
+            return jax.tree_util.tree_map(
+                lambda a, s: host_to_global(s, a), state, sh)
+        return jax.device_put(state, sh)
 
     # -- the driver ------------------------------------------------------#
     def fit(self, state, scene, sampler, *, log_every: int = 10,

@@ -91,6 +91,24 @@ def test_train_backbone_cli(workdir):
     assert 0.0 <= acc.oa <= 1.0
 
 
+def test_fused_iters_cli(workdir):
+    """--num_iters 2 --fused_iters: both runs in one vmapped dispatch,
+    per-seed eval + mean±std report through the real main."""
+    from cmlpl_tpu.cli.train import main as train_main
+
+    acc_b, acc_e = train_main(ARGS + ["--num_iters", "2", "--fused_iters",
+                                      "--metrics_csv", "./metrics.csv"])
+    assert 0.0 <= acc_b.oa <= 1.0
+    import pandas as pd
+
+    hist = pd.read_csv("./metrics.csv")  # seed 0's history
+    assert len(hist) == 2 * 4
+    out = "Experiment_0/label_5"
+    assert os.path.exists(os.path.join(out, "cmlpl_results.csv"))
+    svgs = [f for f in os.listdir(out) if f.endswith(".svg")]
+    assert len(svgs) >= 1  # one map per iteration (names can collide)
+
+
 def test_cps_and_cct_cli(workdir):
     from cmlpl_tpu.cli.train_cct import main as cct_main
     from cmlpl_tpu.cli.train_cps import main as cps_main
