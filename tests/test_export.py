@@ -1,0 +1,89 @@
+"""AOT export (utils/export.py): the serialized StableHLO artifact must
+reproduce the in-process predictor exactly and round-trip through the
+zip container, weights included (no checkpoint / model code at load
+time)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from cmlpl_tpu.eval import ScenePredictor
+from cmlpl_tpu.models import BaseNet2
+from cmlpl_tpu.utils.export import (
+    export_scene_predictor,
+    load_exported,
+    read_meta,
+    save_exported,
+)
+
+
+@pytest.fixture(scope="module")
+def net_and_params(request):
+    scene = request.getfixturevalue("tiny_scene")
+    model = BaseNet2(num_features=103, num_classes=9, n_pc=scene.n_pc)
+    xp0 = np.zeros((1, scene.patch_size, scene.patch_size, scene.n_pc),
+                   np.float32)
+    x0 = np.zeros((1, 103), np.float32)
+    params = model.init(jax.random.key(7), xp0, x0,
+                        train=False)["params"]
+
+    def apply_fn(pr, xp, x):
+        return model.apply({"params": pr}, xp, x, train=False)[0]
+
+    return apply_fn, params
+
+
+@pytest.mark.parametrize("gather", ["xla", "dense"])
+def test_export_roundtrip_matches_predictor(tiny_scene, net_and_params,
+                                            tmp_path, gather):
+    apply_fn, params = net_and_params
+    meta, payload = export_scene_predictor(
+        apply_fn, params, tiny_scene, gather=gather, tile=256,
+        platforms=["cpu"], extra_meta={"dataset": "Synthetic"})
+    path = os.path.join(tmp_path, f"m_{gather}.zip")
+    save_exported(path, meta, payload)
+
+    meta2, fn = load_exported(path)
+    assert meta2["gather"] == gather
+    assert meta2["num_pixels"] == tiny_scene.num_pixels
+    assert meta2["dataset"] == "Synthetic"
+    assert read_meta(path)["rows"] == tiny_scene.rows
+    preds = fn(tiny_scene.padded_pca, tiny_scene.spectra)
+    assert preds.shape == (tiny_scene.num_pixels,)
+    assert preds.dtype == np.int32
+
+    ref = ScenePredictor(apply_fn, patch_size=tiny_scene.patch_size,
+                         cols=tiny_scene.cols, tile=256,
+                         gather=gather)(params, tiny_scene)
+    np.testing.assert_array_equal(preds, ref)
+
+
+def test_export_rejects_pallas_modes(tiny_scene, net_and_params):
+    apply_fn, params = net_and_params
+    with pytest.raises(ValueError, match="Mosaic"):
+        export_scene_predictor(apply_fn, params, tiny_scene,
+                               gather="pallas_bf16", platforms=["cpu"])
+
+
+def test_export_cli_with_verify(tmp_path, monkeypatch):
+    """checkpoint -> cli.export_model --verify: export, reload, compare
+    against the in-process predictor through the real mains."""
+    monkeypatch.chdir(tmp_path)
+    from cmlpl_tpu.cli.export_model import main as export_main
+    from cmlpl_tpu.cli.train import main as train_main
+
+    args = ["--dataID", "0", "--n_PC", "16", "--num_epochs", "1",
+            "--labeled_batch_size", "16", "--unlabeled_batch_size", "16",
+            "--num_unlabel", "64", "--val_batch_size", "256",
+            "--print_per_batches", "0"]
+    train_main(args + ["--checkpoint_dir", "./ckpt"])
+    out = export_main(args + ["--checkpoint_dir", "./ckpt",
+                              "--out", "./model.zip", "--verify",
+                              "--platform", "cpu",
+                              "--eval_gather", "dense"])
+    assert os.path.exists(out)
+    meta = read_meta(out)
+    assert meta["gather"] == "dense"
+    assert meta["dataID"] == 0
