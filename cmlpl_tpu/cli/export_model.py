@@ -27,9 +27,10 @@ from cmlpl_tpu.registry import get_dataset
 from cmlpl_tpu.train import CMLPLTrainer
 from cmlpl_tpu.utils.checkpoint import restore_checkpoint
 from cmlpl_tpu.utils.export import (
-    export_scene_predictor,
+    build_exported,
     load_exported,
     save_exported,
+    save_native_bundle,
 )
 
 
@@ -43,6 +44,11 @@ def main(argv=None):
     p.add_argument("--verify", action="store_true",
                    help="reload the artifact and compare predictions "
                         "against the in-process predictor")
+    p.add_argument("--native_dir", type=str, default=None,
+                   help="also write a raw PJRT host bundle "
+                        "(module.stablehlo + compile_options.pb + "
+                        "signature.txt) for native/pjrt_host.cc; needs a "
+                        "single --platform")
     args = p.parse_args(argv)
     if not args.checkpoint_dir:
         raise SystemExit("--checkpoint_dir is required")
@@ -63,14 +69,20 @@ def main(argv=None):
     def apply_fn(pr, xp, x):
         return model.apply({"params": pr}, xp, x, train=False)[0]
 
-    meta, payload = export_scene_predictor(
+    meta, exported = build_exported(
         apply_fn, params, scene, gather=args.eval_gather,
         tile=args.val_batch_size, platforms=args.platform,
         extra_meta={"dataset": spec.name, "dataID": spec.data_id,
                     "net": args.net})
+    payload = exported.serialize()
     save_exported(args.out, meta, payload)
     print(f"exported {args.out}: {len(payload) / 1e6:.2f} MB, "
           f"platforms={meta['platforms']}, gather={meta['gather']}")
+    if args.native_dir:
+        save_native_bundle(args.native_dir, meta, exported)
+        print(f"native bundle -> {args.native_dir} "
+              f"(module.stablehlo "
+              f"{len(exported.mlir_module_serialized) / 1e6:.2f} MB)")
 
     if args.verify:
         meta2, fn = load_exported(args.out)

@@ -97,12 +97,15 @@ def _dense_scene_fn(params, scene: PreparedScene):
     return predict
 
 
-def export_scene_predictor(apply_fn: Optional[Callable], params,
-                           scene: PreparedScene, *, gather: str = "xla",
-                           tile: int = 4096,
-                           platforms: Optional[Sequence[str]] = None,
-                           extra_meta: Optional[dict] = None):
-    """Serialize the whole-scene predictor.  Returns ``(meta, payload)``.
+def build_exported(apply_fn: Optional[Callable], params,
+                   scene: PreparedScene, *, gather: str = "xla",
+                   tile: int = 4096,
+                   platforms: Optional[Sequence[str]] = None,
+                   extra_meta: Optional[dict] = None):
+    """Trace + lower the whole-scene predictor.  Returns
+    ``(meta, jax.export.Exported)`` — the object form feeds both the zip
+    artifact (``exported.serialize()``) and the native host bundle
+    (:func:`save_native_bundle`).
 
     ``platforms``: lowering platforms (e.g. ``["tpu"]``, ``["cpu"]``,
     or both); defaults to jax.export's default (the current backend).
@@ -137,7 +140,81 @@ def export_scene_predictor(apply_fn: Optional[Callable], params,
     }
     if extra_meta:
         meta.update(extra_meta)
+    return meta, exported
+
+
+def export_scene_predictor(apply_fn: Optional[Callable], params,
+                           scene: PreparedScene, *, gather: str = "xla",
+                           tile: int = 4096,
+                           platforms: Optional[Sequence[str]] = None,
+                           extra_meta: Optional[dict] = None):
+    """Serialize the whole-scene predictor.  Returns ``(meta, payload)``."""
+    meta, exported = build_exported(
+        apply_fn, params, scene, gather=gather, tile=tile,
+        platforms=platforms, extra_meta=extra_meta)
     return meta, exported.serialize()
+
+
+_NATIVE_DTYPES = {"float32": "f32", "int32": "i32",
+                  "bfloat16": "bf16", "uint8": "u8"}
+
+
+def save_native_bundle(dir_path: str, meta: dict, exported) -> None:
+    """Write the C++ PJRT host bundle (see native/pjrt_host.cc):
+
+    - ``module.stablehlo``    raw StableHLO bytecode, weights baked in
+    - ``compile_options.pb``  serialized xla CompileOptionsProto
+    - ``signature.txt``       one ``input|output <name> <dtype> <dims>``
+      line per argument — all the host parses
+    - ``meta.json``           the artifact metadata (humans / Python)
+
+    Unlike the zip artifact (a ``jax.export`` serialization that needs a
+    JAX runtime to load), this is the raw compiler contract: any PJRT
+    C-API plugin can compile ``module.stablehlo`` with the recorded
+    options — no Python in the serving path.
+    """
+    import os
+
+    from jax._src import compiler as _compiler
+
+    if len(exported.platforms) != 1:
+        # multi-platform exports wrap main() with a platform-index arg;
+        # the host passes data args only, so require a single platform
+        raise ValueError(
+            "native bundles need a single lowering platform (got "
+            f"{exported.platforms}); pass e.g. platforms=['tpu']")
+    if exported.ordered_effects or exported.unordered_effects:
+        raise ValueError("effectful exports cannot be served natively")
+    os.makedirs(dir_path, exist_ok=True)
+
+    def lines(kind, names, avals):
+        out = []
+        for name, a in zip(names, avals):
+            dt = _NATIVE_DTYPES.get(np.dtype(a.dtype).name)
+            if dt is None:
+                raise ValueError(f"unsupported dtype {a.dtype} for {name}")
+            dims = ",".join(str(int(d)) for d in a.shape)
+            out.append(f"{kind} {name} {dt} {dims or '1'}")
+        return out
+
+    in_names = [f"in{i}" for i in range(len(exported.in_avals))]
+    if len(in_names) == 2:
+        in_names = ["padded_pca", "spectra"]
+    out_names = [f"out{i}" for i in range(len(exported.out_avals))]
+    if len(out_names) == 1:
+        out_names = ["labels"]
+    sig = (lines("input", in_names, exported.in_avals)
+           + lines("output", out_names, exported.out_avals))
+
+    opts = _compiler.get_compile_options(num_replicas=1, num_partitions=1)
+    with open(os.path.join(dir_path, "module.stablehlo"), "wb") as f:
+        f.write(exported.mlir_module_serialized)
+    with open(os.path.join(dir_path, "compile_options.pb"), "wb") as f:
+        f.write(opts.SerializeAsString())
+    with open(os.path.join(dir_path, "signature.txt"), "w") as f:
+        f.write("\n".join(sig) + "\n")
+    with open(os.path.join(dir_path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
 
 
 def save_exported(path: str, meta: dict, payload: bytes) -> None:

@@ -1,0 +1,134 @@
+"""Native PJRT serving host (native/pjrt_host.cc + pjrt_launcher.py).
+
+No PJRT plugin .so is loadable on CPU CI, so the end-to-end TPU path is
+exercised by scripts/native_serve_ab.py on hardware; here we pin the
+hermetic contract between the Python bundle writer and the C++ host:
+
+- the host binary builds from source with the image's pjrt_c_api.h;
+- its .npy reader/writer round-trips NumPy files bit-exactly;
+- ``save_native_bundle`` emits exactly the files + signature grammar the
+  host parses (cross-checked through the host's --dump_signature mode);
+- launcher plumbing (plugin discovery, axon client options) stays sane.
+"""
+
+import json
+import os
+import subprocess
+
+import jax
+import numpy as np
+import pytest
+
+from cmlpl_tpu.models import BaseNet2
+from cmlpl_tpu.native.pjrt_launcher import (
+    build_host,
+    client_options,
+    discover_plugin,
+    plugin_env,
+)
+from cmlpl_tpu.utils.export import build_exported, save_native_bundle
+
+
+@pytest.fixture(scope="module")
+def host_bin():
+    path = build_host()
+    if path is None:
+        pytest.skip("no g++ / pjrt_c_api.h in this environment")
+    return path
+
+
+def test_npy_roundtrip_f32(host_bin, tmp_path):
+    rng = np.random.default_rng(0)
+    arr = rng.standard_normal((5, 7, 3)).astype(np.float32)
+    src = os.path.join(tmp_path, "a.npy")
+    dst = os.path.join(tmp_path, "b.npy")
+    np.save(src, arr)
+    out = subprocess.run([host_bin, "--npy_roundtrip", src, dst],
+                         capture_output=True, text=True, check=True)
+    assert out.stdout.startswith("ok 105")
+    back = np.load(dst)
+    assert back.dtype == np.float32
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_npy_roundtrip_i32_1d(host_bin, tmp_path):
+    arr = np.arange(11, dtype=np.int32)
+    src = os.path.join(tmp_path, "i.npy")
+    dst = os.path.join(tmp_path, "o.npy")
+    np.save(src, arr)
+    subprocess.run([host_bin, "--npy_roundtrip", src, dst],
+                   capture_output=True, text=True, check=True)
+    np.testing.assert_array_equal(np.load(dst), arr)
+
+
+@pytest.fixture(scope="module")
+def native_bundle(tmp_path_factory, request):
+    scene = request.getfixturevalue("tiny_scene")
+    model = BaseNet2(num_features=103, num_classes=9, n_pc=scene.n_pc)
+    xp0 = np.zeros((1, scene.patch_size, scene.patch_size, scene.n_pc),
+                   np.float32)
+    x0 = np.zeros((1, 103), np.float32)
+    params = model.init(jax.random.key(7), xp0, x0, train=False)["params"]
+
+    def apply_fn(pr, xp, x):
+        return model.apply({"params": pr}, xp, x, train=False)[0]
+
+    meta, exported = build_exported(apply_fn, params, scene, gather="xla",
+                                    tile=256, platforms=["cpu"])
+    d = str(tmp_path_factory.mktemp("bundle"))
+    save_native_bundle(d, meta, exported)
+    return d, scene
+
+
+def test_bundle_files_and_meta(native_bundle):
+    d, scene = native_bundle
+    for f in ("module.stablehlo", "compile_options.pb", "signature.txt",
+              "meta.json"):
+        assert os.path.getsize(os.path.join(d, f)) > 0
+    meta = json.load(open(os.path.join(d, "meta.json")))
+    assert meta["num_pixels"] == scene.num_pixels
+    # StableHLO bytecode artifacts start with the MLIR bytecode magic.
+    head = open(os.path.join(d, "module.stablehlo"), "rb").read(4)
+    assert head == b"ML\xefR"
+
+
+def test_host_parses_bundle_signature(host_bin, native_bundle):
+    d, scene = native_bundle
+    out = subprocess.run([host_bin, "--dump_signature", d],
+                         capture_output=True, text=True, check=True)
+    lines = out.stdout.strip().splitlines()
+    pr, pc, ch = np.shape(scene.padded_pca)
+    k, b = np.shape(scene.spectra)
+    assert lines[0] == f"input padded_pca f32 {pr},{pc},{ch}"
+    assert lines[1] == f"input spectra f32 {k},{b}"
+    assert lines[2] == f"output labels i32 {scene.num_pixels}"
+
+
+def test_multi_platform_bundle_rejected(native_bundle, request):
+    scene = request.getfixturevalue("tiny_scene")
+    model = BaseNet2(num_features=103, num_classes=9, n_pc=scene.n_pc)
+    xp0 = np.zeros((1, scene.patch_size, scene.patch_size, scene.n_pc),
+                   np.float32)
+    x0 = np.zeros((1, 103), np.float32)
+    params = model.init(jax.random.key(7), xp0, x0, train=False)["params"]
+
+    def apply_fn(pr, xp, x):
+        return model.apply({"params": pr}, xp, x, train=False)[0]
+
+    meta, exported = build_exported(apply_fn, params, scene, gather="xla",
+                                    tile=256, platforms=["cpu", "tpu"])
+    with pytest.raises(ValueError, match="single lowering platform"):
+        save_native_bundle("/tmp/should_not_exist_bundle", meta, exported)
+
+
+def test_launcher_plumbing():
+    plug = discover_plugin()
+    # The image ships at least libtpu.so; discovery must find something.
+    assert plug is None or os.path.exists(plug)
+    opts = client_options("/opt/axon/libaxon_pjrt.so")
+    kv = dict(o.split("=", 1) for o in opts[1::2])
+    assert kv["rank"] == str(0xFFFF_FFFF)
+    assert kv["topology"].endswith(":1x1x1")
+    env = plugin_env("/opt/axon/libaxon_pjrt.so")
+    assert env["AXON_POOL_SVC_OVERRIDE"]
+    assert client_options("/x/libtpu.so") == []
