@@ -80,6 +80,33 @@ def build_host(force: bool = False) -> Optional[str]:
     return bin_path
 
 
+_STUB_SRC = os.path.join(os.path.dirname(__file__), "pjrt_stub_plugin.cc")
+
+
+def build_stub_plugin(force: bool = False) -> Optional[str]:
+    """Compile the loopback test plugin (pjrt_stub_plugin.cc) to a cached
+    .so; returns its path or None without a toolchain/header."""
+    cache = os.environ.get(
+        "CMLPL_NATIVE_CACHE",
+        os.path.join(tempfile.gettempdir(), "cmlpl_tpu_native"))
+    os.makedirs(cache, exist_ok=True)
+    so_path = os.path.join(cache, "pjrt_stub_plugin.so")
+    if (not force and os.path.exists(so_path)
+            and os.path.getmtime(so_path) >= os.path.getmtime(_STUB_SRC)):
+        return so_path
+    inc = _find_pjrt_header_root()
+    if inc is None:
+        return None
+    cmd = ["g++", "-O1", "-std=c++17", "-shared", "-fPIC", "-I", inc,
+           _STUB_SRC, "-o", so_path + ".tmp"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(so_path + ".tmp", so_path)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+    return so_path
+
+
 def discover_plugin() -> Optional[str]:
     """First usable PJRT plugin .so: env override, axon tunnel, libtpu."""
     cands = []

@@ -121,6 +121,75 @@ def test_multi_platform_bundle_rejected(native_bundle, request):
         save_native_bundle("/tmp/should_not_exist_bundle", meta, exported)
 
 
+@pytest.fixture(scope="module")
+def stub_plugin():
+    from cmlpl_tpu.native.pjrt_launcher import build_stub_plugin
+
+    path = build_stub_plugin()
+    if path is None:
+        pytest.skip("no g++ / pjrt_c_api.h in this environment")
+    return path
+
+
+def test_host_full_loop_against_stub_plugin(host_bin, stub_plugin,
+                                            tmp_path):
+    """Drive the REAL host end-to-end (client create -> compile ->
+    upload -> execute -> fetch -> npy write) against the loopback
+    plugin, whose contract is output0 := echo of input0."""
+    rng = np.random.default_rng(3)
+    cube = rng.standard_normal((4, 6, 3)).astype(np.float32)
+    spectra = rng.standard_normal((5, 7)).astype(np.float32)
+    d = tmp_path / "bundle"
+    d.mkdir()
+    (d / "module.stablehlo").write_bytes(b"MLIR-bytes-ignored-by-stub")
+    (d / "compile_options.pb").write_bytes(b"\x08\x01")
+    (d / "signature.txt").write_text(
+        "input padded_pca f32 4,6,3\n"
+        "input spectra f32 5,7\n"
+        "output labels f32 4,6,3\n")
+    np.save(tmp_path / "cube.npy", cube)
+    np.save(tmp_path / "spectra.npy", spectra)
+    out = tmp_path / "pred.npy"
+    proc = subprocess.run(
+        [host_bin, "--plugin", stub_plugin, "--bundle", str(d),
+         "--cube", str(tmp_path / "cube.npy"),
+         "--spectra", str(tmp_path / "spectra.npy"),
+         "--out", str(out), "--repeat", "2",
+         "--copt", "fake_opt=1", "--copt", "other=s"],
+        capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr
+    stats = json.loads(proc.stdout.strip())
+    assert stats["repeat"] == 2 and stats["run_ms_min"] >= 0
+    np.testing.assert_array_equal(np.load(out), cube)
+
+
+def test_host_serve_mode_against_stub_plugin(host_bin, stub_plugin,
+                                             tmp_path):
+    """Warm --serve mode: two requests over stdin, one process."""
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    b = a * 2.0
+    sp = np.zeros((2, 2), np.float32)
+    d = tmp_path / "bundle"
+    d.mkdir()
+    (d / "module.stablehlo").write_bytes(b"x")
+    (d / "compile_options.pb").write_bytes(b"y")
+    (d / "signature.txt").write_text(
+        "input padded_pca f32 3,4\ninput spectra f32 2,2\n"
+        "output labels f32 3,4\n")
+    for name, arr in [("a", a), ("b", b), ("sp", sp)]:
+        np.save(tmp_path / f"{name}.npy", arr)
+    reqs = (f"{tmp_path}/a.npy {tmp_path}/sp.npy {tmp_path}/oa.npy\n"
+            f"{tmp_path}/b.npy {tmp_path}/sp.npy {tmp_path}/ob.npy\n")
+    proc = subprocess.run(
+        [host_bin, "--plugin", stub_plugin, "--bundle", str(d), "--serve"],
+        input=reqs, capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr
+    lines = proc.stdout.strip().splitlines()
+    assert lines[0].startswith("ok ") and lines[1].startswith("ok ")
+    np.testing.assert_array_equal(np.load(tmp_path / "oa.npy"), a)
+    np.testing.assert_array_equal(np.load(tmp_path / "ob.npy"), b)
+
+
 def test_launcher_plumbing():
     plug = discover_plugin()
     # The image ships at least libtpu.so; discovery must find something.
