@@ -82,6 +82,30 @@ def test_train_then_predict_cli(workdir):
     assert pred.shape == (64 * 48,)
 
 
+def test_export_model_cli_native_bundle(workdir):
+    """export_model --native_dir: train -> export (zip verify=exact) ->
+    the native bundle parses through the real C++ host binary."""
+    from cmlpl_tpu.cli.export_model import main as export_main
+    from cmlpl_tpu.cli.train import main as train_main
+    from cmlpl_tpu.native.pjrt_launcher import build_host
+
+    train_main(ARGS + ["--checkpoint_dir", "./ckpt"])
+    export_main(ARGS + ["--checkpoint_dir", "./ckpt", "--out", "m.zip",
+                        "--verify", "--platform", "cpu",
+                        "--native_dir", "./nb"])
+    assert os.path.exists("m.zip")
+    for f in ("module.stablehlo", "compile_options.pb", "signature.txt",
+              "meta.json"):
+        assert os.path.getsize(os.path.join("nb", f)) > 0
+    host = build_host()
+    if host is not None:
+        import subprocess
+
+        out = subprocess.run([host, "--dump_signature", "./nb"],
+                             capture_output=True, text=True, check=True)
+        assert out.stdout.splitlines()[-1].startswith("output labels i32 ")
+
+
 def test_train_backbone_cli(workdir):
     from cmlpl_tpu.cli.train_backbone import main
 
