@@ -190,6 +190,29 @@ def test_host_serve_mode_against_stub_plugin(host_bin, stub_plugin,
     np.testing.assert_array_equal(np.load(tmp_path / "ob.npy"), b)
 
 
+def test_run_host_wrapper_against_stub(stub_plugin, tmp_path):
+    """pjrt_launcher.run_host: build, invoke, parse the stats line."""
+    from cmlpl_tpu.native.pjrt_launcher import run_host
+
+    arr = np.ones((2, 3), np.float32)
+    sp = np.zeros((1, 1), np.float32)
+    d = tmp_path / "bundle"
+    d.mkdir()
+    (d / "module.stablehlo").write_bytes(b"m")
+    (d / "compile_options.pb").write_bytes(b"c")
+    (d / "signature.txt").write_text(
+        "input padded_pca f32 2,3\ninput spectra f32 1,1\n"
+        "output labels f32 2,3\n")
+    np.save(tmp_path / "c.npy", arr)
+    np.save(tmp_path / "s.npy", sp)
+    stdout = run_host(str(d), str(tmp_path / "c.npy"),
+                      str(tmp_path / "s.npy"), str(tmp_path / "o.npy"),
+                      plugin=stub_plugin, repeat=1, timeout=120)
+    stats = json.loads(stdout)
+    assert stats["repeat"] == 1
+    np.testing.assert_array_equal(np.load(tmp_path / "o.npy"), arr)
+
+
 def test_launcher_plumbing():
     plug = discover_plugin()
     # The image ships at least libtpu.so; discovery must find something.
