@@ -148,6 +148,10 @@ def client_options(plugin: str,
         "n_slices": 1,
         "session_id": sid,
         "rank": _MONOCLIENT_RANK,
+        # fail fast when the tunnel relay is down rather than spinning
+        # in the claim-retry loop forever (observed outage 2026-08-18)
+        "claim_timeout_s": int(os.environ.get("CMLPL_CLAIM_TIMEOUT_S",
+                                              "300")),
     }
     out = []
     for k, v in opts.items():
