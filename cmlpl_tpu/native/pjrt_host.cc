@@ -38,6 +38,7 @@
 #include <fstream>
 #include <iostream>
 #include <sstream>
+#include <stdexcept>
 #include <string>
 #include <vector>
 
@@ -62,9 +63,10 @@ std::string ErrStr(PJRT_Error* err) {
   return s;
 }
 
+// Thrown for any failure; fatal at top level, but caught per-request in
+// --serve mode so one bad request can't kill the warm server.
 [[noreturn]] void Die(const std::string& what) {
-  fprintf(stderr, "pjrt_host: %s\n", what.c_str());
-  exit(1);
+  throw std::runtime_error(what);
 }
 
 #define CHECK_OK(expr)                                   \
@@ -409,7 +411,18 @@ double RunOnce(Host& host, const std::vector<Npy>& inputs,
 
 }  // namespace
 
+static int RunMain(int argc, char** argv);
+
 int main(int argc, char** argv) {
+  try {
+    return RunMain(argc, argv);
+  } catch (const std::exception& e) {
+    fprintf(stderr, "pjrt_host: %s\n", e.what());
+    return 1;
+  }
+}
+
+static int RunMain(int argc, char** argv) {
   std::string plugin, bundle, cube, spectra, out_path;
   std::vector<std::pair<std::string, std::string>> copts;
   int repeat = 1;
@@ -505,9 +518,13 @@ int main(int argc, char** argv) {
         fflush(stdout);
         continue;
       }
-      auto inputs = LoadInputs(host.sig, {c, s});
-      double ms = RunOnce(host, inputs, o);
-      printf("ok %s %.2f\n", o.c_str(), ms);
+      try {
+        auto inputs = LoadInputs(host.sig, {c, s});
+        double ms = RunOnce(host, inputs, o);
+        printf("ok %s %.2f\n", o.c_str(), ms);
+      } catch (const std::exception& e) {
+        printf("error %s\n", e.what());
+      }
       fflush(stdout);
     }
     return 0;

@@ -178,14 +178,19 @@ def test_host_serve_mode_against_stub_plugin(host_bin, stub_plugin,
         "output labels f32 3,4\n")
     for name, arr in [("a", a), ("b", b), ("sp", sp)]:
         np.save(tmp_path / f"{name}.npy", arr)
+    # middle request is malformed (spectra where the cube should be):
+    # the warm server must answer "error ..." and keep serving
     reqs = (f"{tmp_path}/a.npy {tmp_path}/sp.npy {tmp_path}/oa.npy\n"
+            f"{tmp_path}/sp.npy {tmp_path}/sp.npy {tmp_path}/bad.npy\n"
             f"{tmp_path}/b.npy {tmp_path}/sp.npy {tmp_path}/ob.npy\n")
     proc = subprocess.run(
         [host_bin, "--plugin", stub_plugin, "--bundle", str(d), "--serve"],
         input=reqs, capture_output=True, text=True)
     assert proc.returncode == 0, proc.stderr
     lines = proc.stdout.strip().splitlines()
-    assert lines[0].startswith("ok ") and lines[1].startswith("ok ")
+    assert lines[0].startswith("ok ")
+    assert lines[1].startswith("error ")
+    assert lines[2].startswith("ok ")
     np.testing.assert_array_equal(np.load(tmp_path / "oa.npy"), a)
     np.testing.assert_array_equal(np.load(tmp_path / "ob.npy"), b)
 
