@@ -93,23 +93,17 @@ def hbm_bytes_per_step(cfg) -> float:
 
 
 def _tunnel_preflight() -> None:
-    """Fail fast (with a parseable JSON line) when the axon TPU tunnel's
-    pool-service relay is down, instead of hanging in the plugin's
-    claim-retry loop forever (outage observed 2026-08-18: port 10000
-    refused connections and every jax.devices() call blocked)."""
-    import os
-    import socket
+    """Fail fast with a parseable JSON line when the TPU tunnel's relay
+    is down, instead of hanging in the plugin's claim-retry loop forever
+    (utils/tunnel.py; outage observed 2026-08-18)."""
+    from cmlpl_tpu.utils.tunnel import relay_address, relay_reachable
 
-    if os.environ.get("PALLAS_AXON_POOL_IPS") is None:
-        return  # not the tunnel image; jax picks a local backend
-    try:
-        with socket.create_connection(("127.0.0.1", 10000), timeout=5):
-            return
-    except OSError:
+    if not relay_reachable():
+        host, port = relay_address()
         print(json.dumps({
             "metric": "cmlpl_train_patches_per_sec_per_chip",
             "value": None, "unit": "patches/s/chip", "vs_baseline": None,
-            "error": "axon pool-service relay (127.0.0.1:10000) is "
+            "error": f"axon pool-service relay ({host}:{port}) is "
                      "unreachable — TPU tunnel down; see CLAUDE.md "
                      "round-3e outage record"}))
         raise SystemExit(1)

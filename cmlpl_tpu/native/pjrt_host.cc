@@ -314,55 +314,66 @@ struct Host {
     return bh.buffer;
   }
 
+  static void DestroyBuffers(const std::vector<PJRT_Buffer*>& bufs) {
+    for (PJRT_Buffer* b : bufs) {
+      if (b == nullptr) continue;
+      INIT_ARGS(bd, PJRT_Buffer_Destroy_Args);
+      bd.buffer = b;
+      PJRT_Error* e = g_api->PJRT_Buffer_Destroy(&bd);
+      if (e) fprintf(stderr, "pjrt_host: buffer destroy: %s\n",
+                     ErrStr(e).c_str());
+    }
+  }
+
   // Executes on the single compiled device; returns host bytes per output.
+  // Device buffers are destroyed on BOTH paths — a throwing request in
+  // --serve mode must not leak cube-sized HBM into the warm server.
   std::vector<std::vector<char>> Run(
       const std::vector<const void*>& input_data) {
     std::vector<PJRT_Buffer*> in;
-    in.reserve(sig.inputs.size());
-    for (size_t i = 0; i < sig.inputs.size(); ++i)
-      in.push_back(ToDevice(sig.inputs[i], input_data[i]));
-
-    PJRT_ExecuteOptions eo;
-    memset(&eo, 0, sizeof(eo));
-    eo.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
-
     std::vector<PJRT_Buffer*> outs(sig.outputs.size(), nullptr);
-    PJRT_Buffer* const* arg_list = in.data();
-    PJRT_Buffer** out_list = outs.data();
-    PJRT_Event* done = nullptr;
+    try {
+      in.reserve(sig.inputs.size());
+      for (size_t i = 0; i < sig.inputs.size(); ++i)
+        in.push_back(ToDevice(sig.inputs[i], input_data[i]));
 
-    INIT_ARGS(ex, PJRT_LoadedExecutable_Execute_Args);
-    ex.executable = exec;
-    ex.options = &eo;
-    ex.argument_lists = &arg_list;
-    ex.num_devices = 1;
-    ex.num_args = in.size();
-    ex.output_lists = &out_list;
-    ex.device_complete_events = &done;
-    CHECK_OK(g_api->PJRT_LoadedExecutable_Execute(&ex));
-    AwaitAndDestroy(done);
+      PJRT_ExecuteOptions eo;
+      memset(&eo, 0, sizeof(eo));
+      eo.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
 
-    std::vector<std::vector<char>> host(outs.size());
-    for (size_t i = 0; i < outs.size(); ++i) {
-      INIT_ARGS(th, PJRT_Buffer_ToHostBuffer_Args);
-      th.src = outs[i];
-      CHECK_OK(g_api->PJRT_Buffer_ToHostBuffer(&th));  // size query
-      host[i].resize(th.dst_size);
-      th.dst = host[i].data();
-      CHECK_OK(g_api->PJRT_Buffer_ToHostBuffer(&th));
-      AwaitAndDestroy(th.event);
+      PJRT_Buffer* const* arg_list = in.data();
+      PJRT_Buffer** out_list = outs.data();
+      PJRT_Event* done = nullptr;
+
+      INIT_ARGS(ex, PJRT_LoadedExecutable_Execute_Args);
+      ex.executable = exec;
+      ex.options = &eo;
+      ex.argument_lists = &arg_list;
+      ex.num_devices = 1;
+      ex.num_args = in.size();
+      ex.output_lists = &out_list;
+      ex.device_complete_events = &done;
+      CHECK_OK(g_api->PJRT_LoadedExecutable_Execute(&ex));
+      AwaitAndDestroy(done);
+
+      std::vector<std::vector<char>> host(outs.size());
+      for (size_t i = 0; i < outs.size(); ++i) {
+        INIT_ARGS(th, PJRT_Buffer_ToHostBuffer_Args);
+        th.src = outs[i];
+        CHECK_OK(g_api->PJRT_Buffer_ToHostBuffer(&th));  // size query
+        host[i].resize(th.dst_size);
+        th.dst = host[i].data();
+        CHECK_OK(g_api->PJRT_Buffer_ToHostBuffer(&th));
+        AwaitAndDestroy(th.event);
+      }
+      DestroyBuffers(outs);
+      DestroyBuffers(in);
+      return host;
+    } catch (...) {
+      DestroyBuffers(outs);
+      DestroyBuffers(in);
+      throw;
     }
-    for (PJRT_Buffer* b : outs) {
-      INIT_ARGS(bd, PJRT_Buffer_Destroy_Args);
-      bd.buffer = b;
-      CHECK_OK(g_api->PJRT_Buffer_Destroy(&bd));
-    }
-    for (PJRT_Buffer* b : in) {
-      INIT_ARGS(bd, PJRT_Buffer_Destroy_Args);
-      bd.buffer = b;
-      CHECK_OK(g_api->PJRT_Buffer_Destroy(&bd));
-    }
-    return host;
   }
 };
 
@@ -523,7 +534,12 @@ static int RunMain(int argc, char** argv) {
         double ms = RunOnce(host, inputs, o);
         printf("ok %s %.2f\n", o.c_str(), ms);
       } catch (const std::exception& e) {
-        printf("error %s\n", e.what());
+        // responses are one line per request; XLA error strings can
+        // span lines, so flatten before printing
+        std::string msg = e.what();
+        for (char& ch : msg)
+          if (ch == '\n' || ch == '\r') ch = ' ';
+        printf("error %s\n", msg.c_str());
       }
       fflush(stdout);
     }

@@ -56,28 +56,36 @@ def _find_pjrt_header_root() -> Optional[str]:
     return None
 
 
-def build_host(force: bool = False) -> Optional[str]:
-    """Compile pjrt_host.cc to a cached binary; returns its path or
-    None when no toolchain / header is available."""
+def _build(src: str, out_name: str, *, compile_flags: Sequence[str] = (),
+           link_flags: Sequence[str] = (),
+           force: bool = False) -> Optional[str]:
+    """g++-compile ``src`` into the shared native cache; mtime-cached.
+    Returns the artifact path, or None without a toolchain/header."""
     cache = os.environ.get(
         "CMLPL_NATIVE_CACHE",
         os.path.join(tempfile.gettempdir(), "cmlpl_tpu_native"))
     os.makedirs(cache, exist_ok=True)
-    bin_path = os.path.join(cache, "pjrt_host")
-    if (not force and os.path.exists(bin_path)
-            and os.path.getmtime(bin_path) >= os.path.getmtime(_SRC)):
-        return bin_path
+    out_path = os.path.join(cache, out_name)
+    if (not force and os.path.exists(out_path)
+            and os.path.getmtime(out_path) >= os.path.getmtime(src)):
+        return out_path
     inc = _find_pjrt_header_root()
     if inc is None:
         return None
-    cmd = ["g++", "-O2", "-std=c++17", "-I", inc, _SRC,
-           "-o", bin_path + ".tmp", "-ldl"]
+    cmd = (["g++", "-O2", "-std=c++17", "-I", inc] + list(compile_flags)
+           + [src, "-o", out_path + ".tmp"] + list(link_flags))
     try:
         subprocess.run(cmd, check=True, capture_output=True)
-        os.replace(bin_path + ".tmp", bin_path)
+        os.replace(out_path + ".tmp", out_path)
     except (subprocess.CalledProcessError, FileNotFoundError):
         return None
-    return bin_path
+    return out_path
+
+
+def build_host(force: bool = False) -> Optional[str]:
+    """Compile pjrt_host.cc to a cached binary; returns its path or
+    None when no toolchain / header is available."""
+    return _build(_SRC, "pjrt_host", link_flags=["-ldl"], force=force)
 
 
 _STUB_SRC = os.path.join(os.path.dirname(__file__), "pjrt_stub_plugin.cc")
@@ -86,25 +94,8 @@ _STUB_SRC = os.path.join(os.path.dirname(__file__), "pjrt_stub_plugin.cc")
 def build_stub_plugin(force: bool = False) -> Optional[str]:
     """Compile the loopback test plugin (pjrt_stub_plugin.cc) to a cached
     .so; returns its path or None without a toolchain/header."""
-    cache = os.environ.get(
-        "CMLPL_NATIVE_CACHE",
-        os.path.join(tempfile.gettempdir(), "cmlpl_tpu_native"))
-    os.makedirs(cache, exist_ok=True)
-    so_path = os.path.join(cache, "pjrt_stub_plugin.so")
-    if (not force and os.path.exists(so_path)
-            and os.path.getmtime(so_path) >= os.path.getmtime(_STUB_SRC)):
-        return so_path
-    inc = _find_pjrt_header_root()
-    if inc is None:
-        return None
-    cmd = ["g++", "-O1", "-std=c++17", "-shared", "-fPIC", "-I", inc,
-           _STUB_SRC, "-o", so_path + ".tmp"]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True)
-        os.replace(so_path + ".tmp", so_path)
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        return None
-    return so_path
+    return _build(_STUB_SRC, "pjrt_stub_plugin.so",
+                  compile_flags=["-shared", "-fPIC"], force=force)
 
 
 def discover_plugin() -> Optional[str]:

@@ -29,6 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
+from cmlpl_tpu.utils.tunnel import require_tunnel  # noqa: E402
+
+require_tunnel()  # fail fast instead of hanging if the relay is down
+
 ROWS, COLS = 610, 340
 
 

@@ -33,6 +33,9 @@ from cmlpl_tpu.native.pjrt_launcher import (build_host, client_options,
                                             discover_plugin, plugin_env)
 from cmlpl_tpu.registry import get_dataset
 from cmlpl_tpu.utils.export import build_exported, save_native_bundle
+from cmlpl_tpu.utils.tunnel import require_tunnel
+
+require_tunnel()  # fail fast instead of hanging if the relay is down
 
 p = argparse.ArgumentParser()
 p.add_argument("--dataID", type=int, default=1)
