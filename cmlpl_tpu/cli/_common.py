@@ -114,6 +114,18 @@ def base_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in "
                         "--checkpoint_dir")
+    p.add_argument("--max_restarts", type=int, default=0,
+                   help="elastic recovery: on an unhandled training "
+                        "failure, retry the run up to N times, resuming "
+                        "from the latest checkpoint in --checkpoint_dir "
+                        "(requires --checkpoint_dir; pair with "
+                        "--checkpoint_every for mid-run restart points). "
+                        "The reference has no failure handling — any "
+                        "exception kills the run (SURVEY §5)")
+    # fault injection for the elastic-recovery tests: raise RuntimeError
+    # in the epoch hook right after epoch N's checkpoint is written
+    p.add_argument("--fail_at_epoch", type=int, default=0,
+                   help=argparse.SUPPRESS)
     p.add_argument("--multihost", action="store_true",
                    help="initialise jax.distributed for a multi-host pod "
                         "before mesh creation (auto-discovers coordinator "
@@ -199,16 +211,68 @@ def build_data(args):
 
 def make_epoch_hook(args):
     """Periodic-checkpoint hook for fit(on_epoch_end=...), or None when
-    --checkpoint_dir/--checkpoint_every are not set."""
-    if not (args.checkpoint_dir and args.checkpoint_every):
+    neither --checkpoint_dir/--checkpoint_every nor the fault-injection
+    knob is set.
+
+    --fail_at_epoch N (test-only) raises AFTER epoch N's checkpoint is
+    written, so a supervised retry (run_resilient) resumes at epoch N and
+    the injection point is never revisited — deterministic one-shot
+    failure."""
+    ckpt = bool(args.checkpoint_dir and args.checkpoint_every)
+    fail_at = getattr(args, "fail_at_epoch", 0)
+    if not ckpt and not fail_at:
         return None
-    from cmlpl_tpu.utils.checkpoint import save_checkpoint
 
     def hook(epoch, st):
-        if (epoch + 1) % args.checkpoint_every == 0:
+        if ckpt and (epoch + 1) % args.checkpoint_every == 0:
+            from cmlpl_tpu.utils.checkpoint import save_checkpoint
+
             save_checkpoint(args.checkpoint_dir, st)
+        if fail_at and (epoch + 1) == fail_at:
+            raise RuntimeError(
+                f"fault injection: failing after epoch {epoch + 1}")
 
     return hook
+
+
+def run_resilient(entry, argv=None):
+    """Elastic-recovery supervisor: run ``entry(argv)``; on an unhandled
+    exception, retry up to ``--max_restarts`` times with ``--resume``
+    appended so the retry continues from the latest checkpoint instead of
+    restarting from scratch.
+
+    The reference has no failure handling at all — any exception kills
+    the run and training restarts from zero (SURVEY §5 "failure
+    detection: absent").  Here a transient failure (preemption-style
+    device loss, injected fault, OOM on a shared host) costs at most
+    ``--checkpoint_every`` epochs of progress.  Retries happen in the
+    same process: ``initialize_multihost`` is idempotent and the trainers
+    re-place restored state on their mesh (``maybe_resume``), so the
+    same path works single-chip and on pods.  Requires
+    ``--checkpoint_dir`` (no restart point -> a retry would just repeat
+    the failure from scratch; we re-raise instead)."""
+    import sys
+
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    probe = argparse.ArgumentParser(add_help=False)
+    probe.add_argument("--max_restarts", type=int, default=0)
+    probe.add_argument("--checkpoint_dir", type=str, default=None)
+    known, _ = probe.parse_known_args(argv)
+    attempts = 0
+    while True:
+        try:
+            return entry(argv)
+        except (SystemExit, KeyboardInterrupt):
+            raise
+        except Exception as e:
+            attempts += 1
+            if attempts > known.max_restarts or not known.checkpoint_dir:
+                raise
+            print(f"training attempt failed ({type(e).__name__}: {e}); "
+                  f"restart {attempts}/{known.max_restarts} from the "
+                  f"latest checkpoint")
+            if "--resume" not in argv:
+                argv.append("--resume")
 
 
 def maybe_resume(args, state, batches_per_epoch: int, trainer=None):

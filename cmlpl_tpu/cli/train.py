@@ -156,4 +156,7 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    from cmlpl_tpu.cli._common import run_resilient
+
+    run_resilient(main)
+

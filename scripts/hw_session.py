@@ -1,0 +1,95 @@
+"""One-command hardware session: run every TPU-pending measurement.
+
+TPU access in this environment comes and goes with the axon tunnel
+relay (outages recorded in CLAUDE.md); when the chip is back, the
+window may be short.  This orchestrator spends it efficiently: it runs
+each pending hardware item as a bounded subprocess, captures stdout,
+and writes one session log, so a single command banks every number.
+
+Items (skip any with --skip, add repeats where supported):
+  1. native_serve_ab  — C++ PJRT host vs in-process predictor, bit-exact
+  2. ab_multi_run     — fused multi-seed dispatch vs serial loop
+  3. bench            — headline bench.py (min/mean of 3 + roofline)
+
+Usage:
+    python scripts/hw_session.py                 # all items
+    python scripts/hw_session.py --skip bench    # subset
+    python scripts/hw_session.py --out docs/hw_session_r3f.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from cmlpl_tpu.utils.tunnel import require_tunnel  # noqa: E402
+
+ITEMS = [
+    ("native_serve_ab",
+     [sys.executable, "scripts/native_serve_ab.py", "--repeats", "3"],
+     1800),
+    ("ab_multi_run",
+     [sys.executable, "scripts/ab_multi_run.py"],
+     2400),
+    ("bench",
+     [sys.executable, "bench.py"],
+     1800),
+]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--skip", nargs="*", default=[],
+                   choices=[name for name, _, _ in ITEMS])
+    p.add_argument("--out", type=str,
+                   default="docs/hw_session_latest.json")
+    args = p.parse_args(argv)
+
+    require_tunnel()  # fail in seconds, not hang, if the relay is down
+
+    session = {"started_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                            time.gmtime()),
+               "items": {}}
+    for name, cmd, timeout in ITEMS:
+        if name in args.skip:
+            session["items"][name] = {"status": "skipped"}
+            continue
+        print(f"=== {name}: {' '.join(cmd)}", flush=True)
+        t0 = time.time()
+        try:
+            r = subprocess.run(cmd, cwd=REPO, capture_output=True,
+                               text=True, timeout=timeout)
+            status = "ok" if r.returncode == 0 else f"rc={r.returncode}"
+            out, err = r.stdout, r.stderr
+        except subprocess.TimeoutExpired as e:
+            status = f"timeout>{timeout}s"
+            out = (e.stdout or b"").decode() if isinstance(
+                e.stdout, bytes) else (e.stdout or "")
+            err = (e.stderr or b"").decode() if isinstance(
+                e.stderr, bytes) else (e.stderr or "")
+        session["items"][name] = {
+            "status": status,
+            "wall_s": round(time.time() - t0, 1),
+            "stdout": out[-8000:],
+            "stderr_tail": err[-2000:],
+        }
+        print(out[-2000:], flush=True)
+        print(f"=== {name}: {status} "
+              f"({session['items'][name]['wall_s']} s)", flush=True)
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(session, f, indent=1)
+    print(f"session log -> {args.out}")
+    return session
+
+
+if __name__ == "__main__":
+    main()

@@ -204,6 +204,33 @@ def test_cmlpl_cli_kill_and_resume(workdir, capsys):
     assert 0.0 <= acc_b.oa <= 1.0
 
 
+def test_elastic_recovery_cli(workdir, capsys):
+    """--max_restarts elastic recovery: a mid-run failure (injected after
+    epoch 1's checkpoint) is caught by the run_resilient supervisor,
+    which retries with --resume and completes the schedule from the
+    restart point instead of dying (the reference has no failure
+    handling: any exception kills the run, SURVEY §5)."""
+    import pytest
+
+    from cmlpl_tpu.cli._common import run_resilient
+    from cmlpl_tpu.cli.train import main
+
+    args = ARGS + ["--checkpoint_dir", "./ckpt", "--checkpoint_every",
+                   "1", "--fail_at_epoch", "1"]
+
+    # without restarts budget the injected failure propagates
+    with pytest.raises(RuntimeError, match="fault injection"):
+        run_resilient(main, args)
+    capsys.readouterr()
+
+    acc_b, _ = run_resilient(main, args + ["--max_restarts", "1"])
+    captured = capsys.readouterr().out
+    assert "restart 1/1 from the latest checkpoint" in captured
+    assert "resumed from step" in captured
+    assert "(epoch 1)" in captured
+    assert 0.0 <= acc_b.oa <= 1.0
+
+
 def test_serve_cli_persistent_loop(workdir):
     """serve: one warm process classifies multiple scenes from JSON-line
     requests (including an error line that must not kill the loop)."""
