@@ -21,6 +21,28 @@ import jax  # noqa: E402
 # backend is initialised)
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: XLA:CPU compiles dominate suite wall time
+# on this 1-vCPU host; a warm cache cuts repeated runs ~38% (measured on
+# test_train_step.py: 79 s -> 48 s).  Repo-local dir (gitignored) so the
+# cache survives across runs; opt out with CMLPL_NO_COMPILE_CACHE=1.
+# Cached AOT results execute the same numerics (oracle tests would catch
+# anything else).  XLA's cpu_aot_loader logs a spurious machine-feature
+# E-line per cache load (the compile-side feature string carries
+# compiler-preference pseudo-features like +prefer-no-scatter that the
+# host probe never reports — same machine both sides); TF_CPP_MIN_LOG_
+# LEVEL=3 silences that spam for tests only.  Python exceptions and
+# FATAL aborts stay visible.
+if not os.environ.get("CMLPL_NO_COMPILE_CACHE"):
+    _cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # subprocess tests (pod workers, CLI subprocesses) inherit the cache
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                          "1.0")
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
