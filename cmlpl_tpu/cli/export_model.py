@@ -34,6 +34,36 @@ from cmlpl_tpu.utils.export import (
 )
 
 
+def _export_train_bundle(args):
+    """--train_bundle: serialize the whole training schedule for the
+    native host (utils/export.build_run_exported).  The seed, schedule,
+    and init state replay cli.train's serial path exactly, so the
+    host-produced final params match a Python run bit-for-bit (A/B'd on
+    hardware by scripts/native_train_ab.py)."""
+    from cmlpl_tpu.cli._common import setup_runtime
+    from cmlpl_tpu.core.rng import seed_everything
+    from cmlpl_tpu.utils.export import build_run_exported, save_run_bundle
+
+    setup_runtime(args)
+    spec = get_dataset(args.dataID)
+    _, scene, _, sampler = build_data(args)
+    trainer = CMLPLTrainer(build_config(args, spec))
+    rng = seed_everything(args.seed, impl=args.rng_impl)
+    meta, exported, inputs = build_run_exported(
+        trainer, scene, sampler, jax.random.fold_in(rng, 0),
+        platforms=args.platform)
+    meta.update({"dataset": spec.name, "dataID": spec.data_id,
+                 "seed": args.seed})
+    save_run_bundle(args.train_bundle, meta, exported, inputs)
+    n_bytes = sum(v.nbytes for v in inputs.values())
+    print(f"train bundle -> {args.train_bundle}: "
+          f"{len(exported.mlir_module_serialized) / 1e6:.2f} MB "
+          f"StableHLO, {len(inputs)} inputs ({n_bytes / 1e6:.1f} MB), "
+          f"{len(meta['output_names'])} outputs, "
+          f"platforms={meta['platforms']}")
+    return args.train_bundle
+
+
 def main(argv=None):
     p = base_parser()
     p.add_argument("--out", type=str, default="model.cmlpl.zip")
@@ -49,7 +79,17 @@ def main(argv=None):
                         "(module.stablehlo + compile_options.pb + "
                         "signature.txt) for native/pjrt_host.cc; needs a "
                         "single --platform")
+    p.add_argument("--train_bundle", type=str, default=None,
+                   help="instead of exporting a trained predictor, "
+                        "export the ENTIRE fused CMLPL training run as a "
+                        "native bundle into this dir (module.stablehlo + "
+                        "signature + inputs/*.npy: init state, scene, "
+                        "pre-drawn schedule) — the C++ host then trains "
+                        "with no Python in the loop: pjrt_host --bundle "
+                        "DIR --inputs DIR/inputs --outdir OUT")
     args = p.parse_args(argv)
+    if args.train_bundle:
+        return _export_train_bundle(args)
     if not args.checkpoint_dir:
         raise SystemExit("--checkpoint_dir is required")
     if args.eval_gather == "auto":

@@ -201,10 +201,12 @@ Signature ParseSignature(const std::string& path) {
     ArgSpec a;
     a.name = name;
     a.dtype = dtype;
-    std::stringstream ss(dims);
-    std::string tok;
-    while (std::getline(ss, tok, ','))
-      if (!tok.empty()) a.dims.push_back(std::stoll(tok));
+    if (dims != "-") {  // "-" = rank-0 scalar
+      std::stringstream ss(dims);
+      std::string tok;
+      while (std::getline(ss, tok, ','))
+        if (!tok.empty()) a.dims.push_back(std::stoll(tok));
+    }
     if (kind == "input") sig.inputs.push_back(a);
     else if (kind == "output") sig.outputs.push_back(a);
     else Die(path + ": bad line kind " + kind);
@@ -217,6 +219,7 @@ Signature ParseSignature(const std::string& path) {
 PJRT_Buffer_Type DtypeToPjrt(const std::string& d) {
   if (d == "f32") return PJRT_Buffer_Type_F32;
   if (d == "i32") return PJRT_Buffer_Type_S32;
+  if (d == "u32") return PJRT_Buffer_Type_U32;
   if (d == "bf16") return PJRT_Buffer_Type_BF16;
   if (d == "u8") return PJRT_Buffer_Type_U8;
   Die("unsupported dtype " + d);
@@ -225,12 +228,13 @@ PJRT_Buffer_Type DtypeToPjrt(const std::string& d) {
 const char* DtypeToNpy(const std::string& d) {
   if (d == "f32") return "<f4";
   if (d == "i32") return "<i4";
+  if (d == "u32") return "<u4";
   if (d == "u8") return "|u1";
   Die("no npy mapping for dtype " + d);
 }
 
 size_t DtypeSize(const std::string& d) {
-  if (d == "f32" || d == "i32") return 4;
+  if (d == "f32" || d == "i32" || d == "u32") return 4;
   if (d == "bf16") return 2;
   if (d == "u8") return 1;
   Die("unsupported dtype " + d);
@@ -420,6 +424,30 @@ double RunOnce(Host& host, const std::vector<Npy>& inputs,
   return ms;
 }
 
+// Generic N-ary execution (training bundles and any other multi-input /
+// multi-output program): inputs read from <indir>/<name>.npy per the
+// signature, every output written to <outdir>/<name>.npy.
+double RunGeneric(Host& host, const std::string& indir,
+                  const std::string& outdir) {
+  std::vector<std::string> paths;
+  for (const ArgSpec& s : host.sig.inputs)
+    paths.push_back(indir + "/" + s.name + ".npy");
+  auto inputs = LoadInputs(host.sig, paths);
+  std::vector<const void*> ptrs;
+  for (const Npy& a : inputs) ptrs.push_back(a.data.data());
+  auto t0 = std::chrono::steady_clock::now();
+  auto outs = host.Run(ptrs);
+  double ms = std::chrono::duration<double, std::milli>(
+                  std::chrono::steady_clock::now() - t0)
+                  .count();
+  for (size_t i = 0; i < outs.size(); ++i) {
+    const ArgSpec& s = host.sig.outputs[i];
+    WriteNpy(outdir + "/" + s.name + ".npy", DtypeToNpy(s.dtype), s.dims,
+             outs[i].data(), outs[i].size());
+  }
+  return ms;
+}
+
 }  // namespace
 
 static int RunMain(int argc, char** argv);
@@ -434,7 +462,7 @@ int main(int argc, char** argv) {
 }
 
 static int RunMain(int argc, char** argv) {
-  std::string plugin, bundle, cube, spectra, out_path;
+  std::string plugin, bundle, cube, spectra, out_path, indir, outdir;
   std::vector<std::pair<std::string, std::string>> copts;
   int repeat = 1;
   bool serve = false;
@@ -453,6 +481,8 @@ static int RunMain(int argc, char** argv) {
     else if (a == "--cube") cube = next();
     else if (a == "--spectra") spectra = next();
     else if (a == "--out") out_path = next();
+    else if (a == "--inputs") indir = next();
+    else if (a == "--outdir") outdir = next();
     else if (a == "--repeat") repeat = std::stoi(next());
     else if (a == "--serve") serve = true;
     else if (a == "--dump_signature") {
@@ -460,6 +490,7 @@ static int RunMain(int argc, char** argv) {
       auto dump = [](const char* kind, const std::vector<ArgSpec>& v) {
         for (const ArgSpec& s : v) {
           printf("%s %s %s ", kind, s.name.c_str(), s.dtype.c_str());
+          if (s.dims.empty()) printf("-");
           for (size_t j = 0; j < s.dims.size(); ++j)
             printf("%s%lld", j ? "," : "", (long long)s.dims[j]);
           printf("\n");
@@ -546,8 +577,28 @@ static int RunMain(int argc, char** argv) {
     return 0;
   }
 
+  if (!indir.empty()) {
+    // generic N-ary mode (training bundles): signature-named .npy in,
+    // every output written back out
+    if (outdir.empty()) Die("--inputs needs --outdir");
+    double best = 1e30, sum = 0;
+    for (int r = 0; r < repeat; ++r) {
+      double ms = RunGeneric(host, indir, outdir);
+      best = best < ms ? best : ms;
+      sum += ms;
+    }
+    printf(
+        "{\"client_ms\": %.0f, \"compile_ms\": %.0f, \"run_ms_min\": "
+        "%.2f, \"run_ms_mean\": %.2f, \"repeat\": %d, \"num_inputs\": "
+        "%zu, \"num_outputs\": %zu}\n",
+        client_ms, compile_ms, best, sum / repeat, repeat,
+        host.sig.inputs.size(), host.sig.outputs.size());
+    return 0;
+  }
+
   if (cube.empty() || spectra.empty() || out_path.empty())
-    Die("one-shot mode needs --cube, --spectra, --out");
+    Die("one-shot mode needs --cube, --spectra, --out "
+        "(or --inputs DIR --outdir DIR)");
   auto inputs = LoadInputs(host.sig, {cube, spectra});
   double best = 1e30, sum = 0;
   for (int r = 0; r < repeat; ++r) {

@@ -12,6 +12,7 @@
 // without hardware.  Numerics are pinned separately on hardware by
 // scripts/native_serve_ab.py.
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <vector>
@@ -151,15 +152,83 @@ PJRT_Error* BufferToHostBuffer(PJRT_Buffer_ToHostBuffer_Args* args) {
   return Ok();
 }
 
-// Echo contract: output 0 := copy of input 0. Enough to drive every
-// host code path; real numerics are the hardware A/B's job.
+// Byte size of one element of a signature dtype token.
+size_t SigDtypeSize(const std::string& d) {
+  if (d == "bf16") return 2;
+  if (d == "u8") return 1;
+  return 4;  // f32 / i32 / u32
+}
+
+// Output shapes for multi-output programs: parsed from the bundle's
+// signature.txt when CMLPL_STUB_SIGNATURE points at it (the Execute
+// args carry no output count/shape — real plugins know them from the
+// compiled program; the stub compiles nothing).
+struct OutSpec {
+  std::vector<int64_t> dims;
+  size_t bytes;
+};
+
+std::vector<OutSpec> ParseOutSpecs(const char* path) {
+  std::vector<OutSpec> outs;
+  FILE* f = fopen(path, "r");
+  if (!f) return outs;
+  char kind[32], name[256], dtype[16], dims[256];
+  while (fscanf(f, "%31s %255s %15s %255s", kind, name, dtype, dims) == 4) {
+    if (std::string(kind) != "output") continue;
+    OutSpec s;
+    int64_t n = 1;
+    if (std::string(dims) != "-") {
+      std::string tok;
+      for (const char* p = dims;; ++p) {
+        if (*p == ',' || *p == '\0') {
+          if (!tok.empty()) {
+            s.dims.push_back(std::stoll(tok));
+            n *= s.dims.back();
+          }
+          tok.clear();
+          if (*p == '\0') break;
+        } else {
+          tok += *p;
+        }
+      }
+    }
+    s.bytes = static_cast<size_t>(n) * SigDtypeSize(dtype);
+    outs.push_back(s);
+  }
+  fclose(f);
+  return outs;
+}
+
+// Echo contract: without CMLPL_STUB_SIGNATURE, output 0 := copy of
+// input 0 (the 1-output inference-bundle contract).  With it, every
+// signature output i is fabricated at its true byte size: zero-filled,
+// prefixed with input (i % num_args)'s bytes — deterministic, so the
+// Python side can assert it.  Enough to drive every host code path;
+// real numerics are the hardware A/B's job.
 PJRT_Error* ExecutableExecute(PJRT_LoadedExecutable_Execute_Args* args) {
   if (args->num_devices != 1) return Err("stub: single device only");
   if (args->num_args < 1) return Err("stub: needs >=1 arg");
-  auto* in0 =
-      reinterpret_cast<BufferImpl*>(args->argument_lists[0][0]);
-  auto* out = new BufferImpl(*in0);
-  args->output_lists[0][0] = reinterpret_cast<PJRT_Buffer*>(out);
+  std::vector<OutSpec> specs;
+  if (const char* env = getenv("CMLPL_STUB_SIGNATURE"))
+    specs = ParseOutSpecs(env);
+  if (specs.empty()) {
+    auto* in0 = reinterpret_cast<BufferImpl*>(args->argument_lists[0][0]);
+    args->output_lists[0][0] =
+        reinterpret_cast<PJRT_Buffer*>(new BufferImpl(*in0));
+  } else {
+    for (size_t i = 0; i < specs.size(); ++i) {
+      auto* src = reinterpret_cast<BufferImpl*>(
+          args->argument_lists[0][i % args->num_args]);
+      auto* out = new BufferImpl;
+      out->type = src->type;
+      out->dims = specs[i].dims;
+      out->data.assign(specs[i].bytes, 0);
+      size_t n = src->data.size() < specs[i].bytes ? src->data.size()
+                                                   : specs[i].bytes;
+      memcpy(out->data.data(), src->data.data(), n);
+      args->output_lists[0][i] = reinterpret_cast<PJRT_Buffer*>(out);
+    }
+  }
   if (args->device_complete_events != nullptr)
     args->device_complete_events[0] =
         reinterpret_cast<PJRT_Event*>(&g_event_tag);

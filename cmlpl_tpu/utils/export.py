@@ -156,10 +156,156 @@ def export_scene_predictor(apply_fn: Optional[Callable], params,
 
 
 _NATIVE_DTYPES = {"float32": "f32", "int32": "i32",
-                  "bfloat16": "bf16", "uint8": "u8"}
+                  "bfloat16": "bf16", "uint8": "u8", "uint32": "u32"}
 
 
-def save_native_bundle(dir_path: str, meta: dict, exported) -> None:
+def _keypath_name(path) -> str:
+    """Filesystem-safe dotted name for a pytree key path."""
+    from jax.tree_util import DictKey, FlattenedIndexKey, GetAttrKey, \
+        SequenceKey
+
+    parts = []
+    for k in path:
+        if isinstance(k, GetAttrKey):
+            parts.append(k.name)
+        elif isinstance(k, DictKey):
+            parts.append(str(k.key))
+        elif isinstance(k, SequenceKey):
+            parts.append(str(k.idx))
+        elif isinstance(k, FlattenedIndexKey):
+            parts.append(str(k.key))
+        else:
+            parts.append(str(k))
+    name = ".".join(parts)
+    return "".join(c if (c.isalnum() or c in "._") else "_" for c in name)
+
+
+def build_run_exported(trainer, scene: PreparedScene, sampler, rng, *,
+                       platforms: Optional[Sequence[str]] = None):
+    """Export the trainer's ENTIRE fused training run as one StableHLO
+    program — the native-training contract.
+
+    The reference can only train by running its Python scripts end to
+    end (train.py:65-353); here the whole multi-epoch schedule is
+    already ONE functional XLA program (``EpochDriver`` whole-run scan),
+    so it can be serialized like any inference graph and executed by the
+    C++ PJRT host with no Python in the loop: Python prepares the scene,
+    the init state, and the pre-drawn schedule once (like a compiler
+    front-end), then any PJRT runtime trains.
+
+    Typed PRNG keys cross the boundary as raw uint32 key data
+    (``jax.random.key_data`` / ``wrap_key_data``, the same convention as
+    checkpoints) since neither .npy nor the PJRT host knows key dtypes.
+
+    Returns ``(meta, exported, inputs)`` where ``inputs`` is the ordered
+    ``{name: host ndarray}`` dict matching the exported signature — the
+    exact arrays to hand the host — and meta records input/output names
+    (state leaves by pytree path, batch arrays, stacked metrics).
+    """
+    import jax.random as jrandom
+
+    cfg = trainer.config
+    state = jax.device_get(trainer.init_state(rng))
+    from cmlpl_tpu.train.driver import stack_schedule
+
+    li, ly, ui = stack_schedule(sampler, cfg.num_epochs)
+    pool_args = {}
+    if cfg.gather_impl == "pool":
+        from cmlpl_tpu.ops.patch_gather import poolify_batches
+
+        p, li, ui = poolify_batches(li, ui)
+        pool_args = {"pool_idx": p}
+    extras = {f"extra{i}": np.asarray(e)
+              for i, e in enumerate(trainer._run_extras())}
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(state)
+    paths = [p for p, _ in flat]
+    is_key = [jnp.issubdtype(l.dtype, jax.dtypes.prng_key)
+              for _, l in flat]
+    impls = [str(jrandom.key_impl(l)) if k else None
+             for (_, l), k in zip(flat, is_key)]
+    state_names = ["state." + _keypath_name(p) for p in paths]
+    state_vals = [np.asarray(jrandom.key_data(l)) if k else np.asarray(l)
+                  for (_, l), k in zip(flat, is_key)]
+
+    inputs = dict(zip(state_names, state_vals))
+    inputs["padded_pca"] = np.asarray(scene.padded_pca)
+    inputs["spectra"] = np.asarray(scene.spectra)
+    inputs.update(pool_args)
+    inputs.update({"lab_idx": li, "lab_y": ly, "unl_idx": ui})
+    inputs.update(extras)
+
+    n_state = len(state_vals)
+    raw = trainer._raw_run
+    cols = scene.cols
+
+    def run_flat(*args):
+        leaves = [jrandom.wrap_key_data(a, impl=im) if k else a
+                  for a, k, im in zip(args[:n_state], is_key, impls)]
+        st = jax.tree_util.tree_unflatten(treedef, leaves)
+        new_state, metrics = raw(st, *args[n_state:], cols)
+        out_flat = jax.tree_util.tree_leaves(new_state)
+        out = [jrandom.key_data(l) if k else l
+               for l, k in zip(out_flat, is_key)]
+        mflat, _ = jax.tree_util.tree_flatten_with_path(metrics)
+        return tuple(out) + tuple(v for _, v in mflat)
+
+    kw = {} if platforms is None else {"platforms": list(platforms)}
+    exported = jax.export.export(jax.jit(run_flat), **kw)(
+        *[jax.ShapeDtypeStruct(v.shape, v.dtype)
+          for v in inputs.values()])
+
+    # recover metric names from a shape-only trace of raw
+    m_eval = jax.eval_shape(
+        lambda *a: raw(jax.tree_util.tree_unflatten(
+            treedef, [jrandom.wrap_key_data(x, impl=im) if k else x
+                      for x, k, im in zip(a[:n_state], is_key, impls)]),
+            *a[n_state:], cols)[1],
+        *[jax.ShapeDtypeStruct(v.shape, v.dtype)
+          for v in inputs.values()])
+    metric_names = ["metrics." + _keypath_name(p)
+                    for p, _ in jax.tree_util.tree_flatten_with_path(
+                        m_eval)[0]]
+    out_names = state_names + metric_names
+
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kind": "train_run",
+        "trainer": type(trainer).__name__,
+        "num_epochs": cfg.num_epochs,
+        "batches_per_epoch": int(li.shape[1]),
+        "gather_impl": cfg.gather_impl,
+        "rng_impl": cfg.rng_impl,
+        "input_names": list(inputs.keys()),
+        "output_names": out_names,
+        "platforms": list(exported.platforms),
+        "jax_version": jax.__version__,
+    }
+    return meta, exported, inputs
+
+
+def save_run_bundle(dir_path: str, meta: dict, exported, inputs) -> None:
+    """Native training bundle: the host bundle files (module.stablehlo /
+    compile_options.pb / signature.txt / meta.json) plus ``inputs/``
+    holding one ``<name>.npy`` per exported input — everything the C++
+    host needs to run the whole training schedule:
+
+        pjrt_host --plugin P --bundle DIR --inputs DIR/inputs --outdir O
+    """
+    import os
+
+    save_native_bundle(dir_path, meta, exported,
+                       in_names=meta["input_names"],
+                       out_names=meta["output_names"])
+    idir = os.path.join(dir_path, "inputs")
+    os.makedirs(idir, exist_ok=True)
+    for name, val in inputs.items():
+        np.save(os.path.join(idir, name + ".npy"), val)
+
+
+def save_native_bundle(dir_path: str, meta: dict, exported, *,
+                       in_names: Optional[Sequence[str]] = None,
+                       out_names: Optional[Sequence[str]] = None) -> None:
     """Write the C++ PJRT host bundle (see native/pjrt_host.cc):
 
     - ``module.stablehlo``    raw StableHLO bytecode, weights baked in
@@ -193,16 +339,22 @@ def save_native_bundle(dir_path: str, meta: dict, exported) -> None:
             dt = _NATIVE_DTYPES.get(np.dtype(a.dtype).name)
             if dt is None:
                 raise ValueError(f"unsupported dtype {a.dtype} for {name}")
+            # "-" marks rank-0 (the parser needs a 4th token per line)
             dims = ",".join(str(int(d)) for d in a.shape)
-            out.append(f"{kind} {name} {dt} {dims or '1'}")
+            out.append(f"{kind} {name} {dt} {dims or '-'}")
         return out
 
-    in_names = [f"in{i}" for i in range(len(exported.in_avals))]
-    if len(in_names) == 2:
-        in_names = ["padded_pca", "spectra"]
-    out_names = [f"out{i}" for i in range(len(exported.out_avals))]
-    if len(out_names) == 1:
-        out_names = ["labels"]
+    if in_names is None:
+        in_names = [f"in{i}" for i in range(len(exported.in_avals))]
+        if len(in_names) == 2:
+            in_names = ["padded_pca", "spectra"]
+    if out_names is None:
+        out_names = [f"out{i}" for i in range(len(exported.out_avals))]
+        if len(out_names) == 1:
+            out_names = ["labels"]
+    if (len(in_names) != len(exported.in_avals)
+            or len(out_names) != len(exported.out_avals)):
+        raise ValueError("signature name count mismatch")
     sig = (lines("input", in_names, exported.in_avals)
            + lines("output", out_names, exported.out_avals))
 

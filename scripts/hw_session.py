@@ -8,8 +8,9 @@ and writes one session log, so a single command banks every number.
 
 Items (skip any with --skip, add repeats where supported):
   1. native_serve_ab  — C++ PJRT host vs in-process predictor, bit-exact
-  2. ab_multi_run     — fused multi-seed dispatch vs serial loop
-  3. bench            — headline bench.py (min/mean of 3 + roofline)
+  2. native_train_ab  — C++ host runs the WHOLE training run, bit-exact
+  3. ab_multi_run     — fused multi-seed dispatch vs serial loop
+  4. bench            — headline bench.py (min/mean of 3 + roofline)
 
 Usage:
     python scripts/hw_session.py                 # all items
@@ -35,6 +36,9 @@ ITEMS = [
     ("native_serve_ab",
      [sys.executable, "scripts/native_serve_ab.py", "--repeats", "3"],
      1800),
+    ("native_train_ab",
+     [sys.executable, "scripts/native_train_ab.py", "--num_epochs", "5"],
+     3600),
     ("ab_multi_run",
      [sys.executable, "scripts/ab_multi_run.py"],
      2400),

@@ -67,6 +67,50 @@ def test_export_rejects_pallas_modes(tiny_scene, net_and_params):
                                gather="pallas_bf16", platforms=["cpu"])
 
 
+def test_run_export_matches_train_run(tiny_scene, tiny_splits):
+    """The exported whole-training-run program (build_run_exported,
+    serialized + deserialized) reproduces trainer.train_run exactly —
+    final state (PRNG keys compared as raw key data) and every stacked
+    metric.  This pins the native-training contract's numerics
+    hermetically; the hardware A/B (scripts/native_train_ab.py) then
+    only needs to vouch for the C++ host's PJRT plumbing."""
+    import jax.numpy as jnp
+    import jax.random as jrandom
+
+    from cmlpl_tpu.data import SemiSupervisedSampler
+    from cmlpl_tpu.train import CMLPLTrainer
+    from cmlpl_tpu.train.state import CMLPLConfig
+    from cmlpl_tpu.utils.export import build_run_exported
+
+    cfg = CMLPLConfig(n_pc=16, labeled_batch=16, unlabeled_batch=16,
+                      num_epochs=2, num_unlabel=64, dropout=0.5)
+
+    def sampler():
+        # fresh instance per side: same seed -> identical schedule draws
+        return SemiSupervisedSampler(tiny_splits, tiny_scene.labels, 16,
+                                     16, num_unlabel=64, seed=1088)
+
+    trainer = CMLPLTrainer(cfg)
+    rng = jax.random.key(0)
+    meta, exported, inputs = build_run_exported(trainer, tiny_scene,
+                                                sampler(), rng)
+    call = jax.jit(jax.export.deserialize(exported.serialize()).call)
+    outs = call(*inputs.values())
+
+    state, metrics = trainer.train_run(trainer.init_state(rng),
+                                       tiny_scene, sampler())
+    state, metrics = jax.device_get((state, metrics))
+    ref = [jrandom.key_data(l)
+           if jnp.issubdtype(l.dtype, jax.dtypes.prng_key) else l
+           for l in jax.tree_util.tree_leaves(state)]
+    ref += [v for _, v in
+            jax.tree_util.tree_flatten_with_path(metrics)[0]]
+    assert len(outs) == len(ref) == len(meta["output_names"])
+    for name, a, b in zip(meta["output_names"], outs, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
 def test_export_cli_with_verify(tmp_path, monkeypatch):
     """checkpoint -> cli.export_model --verify: export, reload, compare
     against the in-process predictor through the real mains."""

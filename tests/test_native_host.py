@@ -218,6 +218,59 @@ def test_run_host_wrapper_against_stub(stub_plugin, tmp_path):
     np.testing.assert_array_equal(np.load(tmp_path / "o.npy"), arr)
 
 
+def test_train_bundle_native_host_stub(host_bin, stub_plugin, tmp_path,
+                                       monkeypatch):
+    """Native TRAINING through the real host binary: cli.export_model
+    --train_bundle writes the whole-run program + inputs/, the host's
+    generic --inputs/--outdir mode uploads all ~77 arrays (f32/i32/u32,
+    scalars included), executes, and writes every output.  The stub's
+    size-aware contract (out[i] := in[i % n]'s bytes zero-padded to the
+    signature size, shapes from CMLPL_STUB_SIGNATURE) makes the full
+    N-ary plumbing assertable without hardware; numerics are pinned
+    hermetically by tests/test_export.py::test_run_export_matches_
+    train_run and on hardware by scripts/native_train_ab.py."""
+    from cmlpl_tpu.cli.export_model import main as export_main
+
+    monkeypatch.chdir(tmp_path)
+    export_main(["--dataID", "0", "--n_PC", "16", "--num_epochs", "2",
+                 "--labeled_batch_size", "16", "--unlabeled_batch_size",
+                 "16", "--num_unlabel", "64", "--val_batch_size", "256",
+                 "--dropout", "0.5", "--train_bundle", "tbundle"])
+    meta = json.load(open("tbundle/meta.json"))
+    assert meta["kind"] == "train_run"
+    assert meta["batches_per_epoch"] > 0
+
+    # scalar state leaves (step, opt counts) serialize as rank-0 "-" and
+    # must round-trip the host's signature parser exactly
+    sig_lines = open("tbundle/signature.txt").read().strip().splitlines()
+    assert any(l.endswith(" i32 -") for l in sig_lines)
+    dump = subprocess.run([host_bin, "--dump_signature", "tbundle"],
+                          capture_output=True, text=True, check=True)
+    assert dump.stdout.strip().splitlines() == sig_lines
+
+    os.makedirs("out")
+    env = dict(os.environ, CMLPL_STUB_SIGNATURE=str(
+        tmp_path / "tbundle" / "signature.txt"))
+    proc = subprocess.run(
+        [host_bin, "--plugin", stub_plugin, "--bundle", "tbundle",
+         "--inputs", "tbundle/inputs", "--outdir", "out"],
+        capture_output=True, text=True, env=env)
+    assert proc.returncode == 0, proc.stderr
+    stats = json.loads(proc.stdout.strip())
+    assert stats["num_inputs"] == len(meta["input_names"])
+    assert stats["num_outputs"] == len(meta["output_names"])
+
+    names_in = meta["input_names"]
+    for i, name in enumerate(meta["output_names"]):
+        got = np.load(os.path.join("out", name + ".npy"))
+        src = np.load(os.path.join("tbundle", "inputs",
+                                   names_in[i % len(names_in)] + ".npy"))
+        gb, sb = got.tobytes(), src.tobytes()
+        n = min(len(gb), len(sb))
+        assert gb[:n] == sb[:n], name
+        assert not any(gb[n:]), name  # zero tail past the echoed bytes
+
+
 def test_launcher_plumbing():
     plug = discover_plugin()
     # The image ships at least libtpu.so; discovery must find something.
