@@ -67,18 +67,21 @@ def test_export_rejects_pallas_modes(tiny_scene, net_and_params):
                                gather="pallas_bf16", platforms=["cpu"])
 
 
-def test_run_export_matches_train_run(tiny_scene, tiny_splits):
+@pytest.mark.parametrize("algo", ["cmlpl", "cps", "cct"])
+def test_run_export_matches_train_run(tiny_scene, tiny_splits, algo):
     """The exported whole-training-run program (build_run_exported,
     serialized + deserialized) reproduces trainer.train_run exactly —
     final state (PRNG keys compared as raw key data) and every stacked
-    metric.  This pins the native-training contract's numerics
-    hermetically; the hardware A/B (scripts/native_train_ab.py) then
-    only needs to vouch for the C++ host's PJRT plumbing."""
+    metric, for all three semi-supervised trainers (CCT's two
+    overlapping optimizers included).  This pins the native-training
+    contract's numerics hermetically; the hardware A/B
+    (scripts/native_train_ab.py) then only needs to vouch for the C++
+    host's PJRT plumbing."""
     import jax.numpy as jnp
     import jax.random as jrandom
 
     from cmlpl_tpu.data import SemiSupervisedSampler
-    from cmlpl_tpu.train import CMLPLTrainer
+    from cmlpl_tpu.train import CCTTrainer, CMLPLTrainer, CPSTrainer
     from cmlpl_tpu.train.state import CMLPLConfig
     from cmlpl_tpu.utils.export import build_run_exported
 
@@ -90,7 +93,8 @@ def test_run_export_matches_train_run(tiny_scene, tiny_splits):
         return SemiSupervisedSampler(tiny_splits, tiny_scene.labels, 16,
                                      16, num_unlabel=64, seed=1088)
 
-    trainer = CMLPLTrainer(cfg)
+    trainer = {"cmlpl": CMLPLTrainer, "cps": CPSTrainer,
+               "cct": CCTTrainer}[algo](cfg)
     rng = jax.random.key(0)
     meta, exported, inputs = build_run_exported(trainer, tiny_scene,
                                                 sampler(), rng)
