@@ -64,6 +64,30 @@ def _export_train_bundle(args):
     return args.train_bundle
 
 
+def _import_run(args):
+    """--import_run: native host training outputs -> orbax checkpoint
+    (utils/export.load_run_outputs).  The config flags must match the
+    --train_bundle export so the state template's tree/shapes line up
+    (mismatches are rejected leaf-by-leaf)."""
+    from cmlpl_tpu.utils.checkpoint import save_checkpoint
+    from cmlpl_tpu.utils.export import load_run_outputs
+
+    if not args.checkpoint_dir:
+        raise SystemExit("--import_run needs --checkpoint_dir")
+    bundle, outdir = args.import_run
+    spec = get_dataset(args.dataID)
+    trainer = CMLPLTrainer(build_config(args, spec))
+    template = jax.device_get(trainer.init_state(jax.random.key(0)))
+    state, metrics = load_run_outputs(bundle, outdir, template)
+    save_checkpoint(args.checkpoint_dir, state)
+    tail = {k: float(np.asarray(v).reshape(-1)[-1])
+            for k, v in metrics.items()}
+    print(f"imported native run -> {args.checkpoint_dir} "
+          f"(step {int(np.asarray(state.step))}); final metrics: "
+          + " ".join(f"{k}={v:.4f}" for k, v in sorted(tail.items())))
+    return args.checkpoint_dir
+
+
 def main(argv=None):
     p = base_parser()
     p.add_argument("--out", type=str, default="model.cmlpl.zip")
@@ -87,7 +111,17 @@ def main(argv=None):
                         "pre-drawn schedule) — the C++ host then trains "
                         "with no Python in the loop: pjrt_host --bundle "
                         "DIR --inputs DIR/inputs --outdir OUT")
+    p.add_argument("--import_run", nargs=2, default=None,
+                   metavar=("BUNDLE", "OUTDIR"),
+                   help="import a native host training run (pjrt_host "
+                        "--inputs BUNDLE/inputs --outdir OUTDIR on a "
+                        "--train_bundle export) back into an orbax "
+                        "checkpoint at --checkpoint_dir, so natively "
+                        "trained params feed predict/serve; pass the "
+                        "same config flags used at export")
     args = p.parse_args(argv)
+    if args.import_run:
+        return _import_run(args)
     if args.train_bundle:
         return _export_train_bundle(args)
     if not args.checkpoint_dir:

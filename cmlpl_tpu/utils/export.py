@@ -236,7 +236,12 @@ def build_run_exported(trainer, scene: PreparedScene, sampler, rng, *,
     inputs.update(extras)
 
     n_state = len(state_vals)
-    raw = trainer._raw_run
+    raw = getattr(trainer, "_raw_run", None)
+    if raw is None:
+        raise ValueError(
+            f"{type(trainer).__name__} has no exportable whole-run "
+            "entry (_raw_run); native training covers the "
+            "semi-supervised trainers (CMLPL/CPS/CCT)")
     cols = scene.cols
 
     def run_flat(*args):
@@ -301,6 +306,48 @@ def save_run_bundle(dir_path: str, meta: dict, exported, inputs) -> None:
     os.makedirs(idir, exist_ok=True)
     for name, val in inputs.items():
         np.save(os.path.join(idir, name + ".npy"), val)
+
+
+def load_run_outputs(bundle_dir: str, outdir: str, template_state):
+    """Rebuild ``(state, metrics)`` from a native host training run.
+
+    ``pjrt_host --inputs --outdir`` writes one ``<name>.npy`` per
+    signature output; this inverts :func:`build_run_exported`'s
+    flattening — state leaves come back in pytree order with typed PRNG
+    keys re-wrapped from their raw uint32 data, metrics as a plain
+    ``{name: (E, N) ndarray}`` dict — so a natively-trained run feeds
+    straight into ``utils/checkpoint.save_checkpoint`` and from there
+    into predict/serve.
+    """
+    import os
+
+    import jax.random as jrandom
+
+    with open(os.path.join(bundle_dir, "meta.json")) as f:
+        meta = json.load(f)
+    names = meta["output_names"]
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template_state)
+    if len(names) < len(flat):
+        raise ValueError(
+            f"bundle has {len(names)} outputs but the template state "
+            f"has {len(flat)} leaves — wrong trainer/config?")
+    leaves = []
+    for (path, tmpl), name in zip(flat, names[: len(flat)]):
+        arr = np.load(os.path.join(outdir, name + ".npy"))
+        if jnp.issubdtype(tmpl.dtype, jax.dtypes.prng_key):
+            arr = jrandom.wrap_key_data(
+                arr, impl=str(jrandom.key_impl(tmpl)))
+        elif arr.shape != np.shape(tmpl) or arr.dtype != tmpl.dtype:
+            raise ValueError(
+                f"{name}: got {arr.dtype}{arr.shape}, template wants "
+                f"{tmpl.dtype}{np.shape(tmpl)}")
+        leaves.append(arr)
+    state = jax.tree_util.tree_unflatten(treedef, leaves)
+    metrics = {}
+    for name in names[len(flat):]:
+        metrics[name.removeprefix("metrics.")] = np.load(
+            os.path.join(outdir, name + ".npy"))
+    return state, metrics
 
 
 def save_native_bundle(dir_path: str, meta: dict, exported, *,

@@ -142,6 +142,27 @@ for name, r in zip(meta["output_names"], ref):
         max_abs = max(max_abs, float(d))
 
 n = len(ref)
+
+# the full workflow: import the host-trained state and score its OA on
+# the test split (utils/export.load_run_outputs -> ScenePredictor)
+from cmlpl_tpu.eval import ScenePredictor, cal_accuracy  # noqa: E402
+from cmlpl_tpu.utils.export import load_run_outputs  # noqa: E402
+
+template = jax.device_get(trainer.init_state(rng))
+host_state, _ = load_run_outputs(bundle, outdir, template)
+model = trainer.model
+
+
+def apply_b(pr, xp, x):
+    return model.apply({"params": pr}, xp, x, train=False)[0]
+
+
+predictor = ScenePredictor(apply_b, patch_size=cfg.patch_size,
+                           cols=scene.cols, tile=cfg.val_batch)
+pred = np.asarray(predictor(host_state.net_b.params, scene))
+y_test = scene.labels[splits.test] - 1
+oa = float(cal_accuracy(pred[splits.test], y_test).oa)
+
 print(json.dumps({
     "dataset": spec.name, "epochs": args.num_epochs,
     "steps": args.num_epochs * meta["batches_per_epoch"],
@@ -150,6 +171,7 @@ print(json.dumps({
     "inprocess_train_sec": round(inproc_sec, 2),
     "outputs_bitexact": f"{exact}/{n}",
     "max_abs_diff": max_abs,
+    "host_trained_oa": round(oa * 100, 2),
 }))
 if exact != n:
     raise SystemExit("native host training DIVERGES from train_run")

@@ -114,6 +114,46 @@ def test_run_export_matches_train_run(tiny_scene, tiny_splits, algo):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
 
+    if algo != "cmlpl":
+        return
+    # close the native-training workflow loop: host-style .npy outputs
+    # -> cli.export_model --import_run -> orbax checkpoint == train_run
+    # state (so natively trained params feed predict/serve)
+    import json
+    import tempfile
+
+    from cmlpl_tpu.cli.export_model import main as export_main
+    from cmlpl_tpu.utils.checkpoint import restore_checkpoint
+
+    with tempfile.TemporaryDirectory() as td:
+        bundle = os.path.join(td, "bundle")
+        outdir = os.path.join(td, "out")
+        ckpt = os.path.join(td, "ckpt")
+        os.makedirs(bundle)
+        os.makedirs(outdir)
+        with open(os.path.join(bundle, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        for name, a in zip(meta["output_names"], outs):
+            np.save(os.path.join(outdir, name + ".npy"), np.asarray(a))
+        export_main(["--dataID", "0", "--n_PC", "16",
+                     "--labeled_batch_size", "16",
+                     "--unlabeled_batch_size", "16", "--num_epochs", "2",
+                     "--num_unlabel", "64", "--dropout", "0.5",
+                     "--import_run", bundle, outdir,
+                     "--checkpoint_dir", ckpt])
+        template = jax.device_get(trainer.init_state(jax.random.key(0)))
+        restored = restore_checkpoint(ckpt, template)
+        for (path, a), b in zip(
+                jax.tree_util.tree_flatten_with_path(
+                    jax.device_get(restored))[0],
+                jax.tree_util.tree_leaves(state)):
+            a2 = (jrandom.key_data(a)
+                  if jnp.issubdtype(a.dtype, jax.dtypes.prng_key) else a)
+            b2 = (jrandom.key_data(b)
+                  if jnp.issubdtype(b.dtype, jax.dtypes.prng_key) else b)
+            np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2),
+                                          err_msg=str(path))
+
 
 def test_export_cli_with_verify(tmp_path, monkeypatch):
     """checkpoint -> cli.export_model --verify: export, reload, compare
