@@ -61,6 +61,17 @@ def base_parser() -> argparse.ArgumentParser:
                    choices=["threefry2x32", "rbg"],
                    help="PRNG impl; rbg is ~30%% faster on TPU, "
                         "identical noise distribution")
+    p.add_argument("--noise_impl", type=str, default="normal",
+                   choices=["normal", "binom16"],
+                   help="input-view noise sampler: binom16 = "
+                        "standardised Binomial(16,1/2) via "
+                        "population_count (no erfinv; mean 0 / var 1 "
+                        "lattice within +/-4 sigma)")
+    p.add_argument("--noise_fused", action="store_true",
+                   help="draw each net's labeled||unlabeled noise view "
+                        "with one key over the concatenated tensor (4 "
+                        "RNG kernels instead of 8; same distribution "
+                        "and independence, different stream)")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="model compute dtype (params stay float32)")
@@ -149,6 +160,7 @@ def build_config(args, spec) -> CMLPLConfig:
     return CMLPLConfig(
         num_classes=spec.num_classes,
         num_features=spec.num_bands,
+        num_label=args.num_label,
         n_pc=args.n_PC,
         patch_size=args.w,
         labeled_batch=args.labeled_batch_size,
@@ -167,6 +179,8 @@ def build_config(args, spec) -> CMLPLConfig:
         compute_dtype=args.compute_dtype,
         input_dtype=args.input_dtype,
         rng_impl=args.rng_impl,
+        noise_impl=args.noise_impl,
+        noise_fused=args.noise_fused,
         gather_impl=args.gather_impl,
         extra_loss=args.extra_loss,
         extra_weight=args.extra_weight,

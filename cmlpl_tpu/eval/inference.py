@@ -77,9 +77,19 @@ def dense_scene_logits(params, scene: PreparedScene) -> jax.Array:
     Boundary semantics intentionally differ from the reference's patch
     evaluator (hyper_tools.py:416-437): a 20x20 patch zero-pads ITS OWN
     edges inside conv1/conv2 (models.py:104-111), while the dense pass
-    sees the true neighbouring pixels.  Measured on a trained net:
-    99.6% prediction agreement, 0.9998 logit correlation, OA within 0.1
-    (tests/test_eval.py) — opt-in via ``--eval_gather dense``.
+    sees the true neighbouring pixels.  That zero-padded halo sits at
+    distance w/2 from EVERY pixel's centre — inside every classifier
+    receptive field — so disagreements are border-concentrated but NOT
+    border-confined: measured on trained nets at 48x40 versions of all
+    four geometries, 2.2-2.9% of pixels disagree, ~67-88% of them within
+    w/2 of the scene border and the rest interior.  Conv pad placement
+    is the ONLY divergence source: with conv1/conv2 restricted to their
+    centre tap (padding can influence nothing) dense logits equal true
+    patch logits everywhere
+    (tests/test_eval.py::test_dense_disagreement_is_conv_pad_semantics_only).
+    Whole-scene numbers on a trained net: 99.6% prediction agreement,
+    0.9998 logit correlation, OA within 0.1 (tests/test_eval.py) —
+    opt-in via ``--eval_gather dense``.
 
     Requires a BaseNet2-family or CCT param tree (see
     :func:`_dense_params_view`) and ``patch_size % 4 == 0``.

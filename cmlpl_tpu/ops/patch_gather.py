@@ -229,25 +229,40 @@ def gather_patches_pallas_shifted(cube8: jax.Array, pixel_idx: jax.Array,
 #: pool is ~0.97 GB, far under this.
 POOL_AUTO_BUDGET_BYTES = 2 << 30
 
+#: Pool length quantum (rows).  ``poolify_batches`` pads every pool to a
+#: multiple of this so per-epoch dispatches keep a stable jitted shape
+#: when the unique count jitters; ``resolve_gather_impl`` sizes its
+#: worst case with the same constant so the two can't drift.
+POOL_BUCKET = 512
+
 
 def resolve_gather_impl(gather_impl: str, *, num_unlabel: int,
-                        patch_size: int, n_pc: int,
-                        pool_supported: bool = True) -> str:
+                        patch_size: int, n_pc: int, num_labeled: int = 0,
+                        pool_supported: bool = True,
+                        bucket: int = POOL_BUCKET) -> str:
     """Resolve the "auto" training-gather knob to a concrete impl.
 
     "auto" (the default since r3d) picks the pre-gathered-pool path —
     numerically identical to "xla" (same patch values, same math;
     equality pinned in tests) and +22.6% measured — whenever the trainer
-    supports it and the pool's worst-case f32 footprint
-    (unique schedule pixels ~ num_unlabel + labeled + bucket padding)
-    fits POOL_AUTO_BUDGET_BYTES; otherwise the HBM-free per-step "xla"
+    supports it and the pool's worst-case f32 footprint fits
+    POOL_AUTO_BUDGET_BYTES; otherwise the HBM-free per-step "xla"
     dynamic-slice gather.  Explicit impl names pass through untouched.
+
+    The worst case is derived from the actual schedule: a pool holds the
+    UNIQUE pixels a dispatch trains on, which is at most ``num_unlabel``
+    unlabeled + ``num_labeled`` labeled pixels (the split recipe draws
+    ``num_label`` per class, sample_generation.py:52-63, so trainers pass
+    ``num_label * num_classes``), rounded up to the ``poolify_batches``
+    bucket.  The pool may be stored in bf16 under input_dtype="compute";
+    the budget check keeps the conservative f32 footprint.
     """
     if gather_impl != "auto":
         return gather_impl
     if not pool_supported:
         return "xla"
-    pool_rows = num_unlabel + 1024  # labeled uniques + bucket padding
+    uniques = max(num_unlabel + num_labeled, 1)
+    pool_rows = -(-uniques // bucket) * bucket
     pool_bytes = pool_rows * patch_size * patch_size * n_pc * 4
     return "pool" if pool_bytes <= POOL_AUTO_BUDGET_BYTES else "xla"
 
@@ -264,7 +279,7 @@ def check_gather_mesh(gather_impl: str, mesh) -> None:
             "multi-chip training")
 
 
-def poolify_batches(lab_idx, unl_idx, bucket: int = 512):
+def poolify_batches(lab_idx, unl_idx, bucket: int = POOL_BUCKET):
     """Pool-mode host prep: a dispatch's unique pixel ids + the batch
     index arrays re-expressed as positions into that pool.
 

@@ -55,7 +55,8 @@ class CCTTrainer(EpochDriver):
 
         config = dataclasses.replace(config, gather_impl=resolve_gather_impl(
             config.gather_impl, num_unlabel=config.num_unlabel,
-            patch_size=config.patch_size, n_pc=config.n_pc))
+            patch_size=config.patch_size, n_pc=config.n_pc,
+            num_labeled=config.num_label * config.num_classes))
         self.config = config
         self.mesh = mesh
 
@@ -154,6 +155,9 @@ class CCTTrainer(EpochDriver):
         # input/view dtype at the dispatch boundary (state.py input_dtype);
         # the feature-space perturbations stay f32 (fea1 is promoted)
         in_cast = make_input_cast(cfg.compute_dtype, cfg.input_dtype)
+        from cmlpl_tpu.ops.noise import make_noiser
+
+        noisy = make_noiser(cfg.noise_impl, cfg.noise)
 
         pool_mode = cfg.gather_impl == "pool"
         if pool_mode:
@@ -174,21 +178,26 @@ class CCTTrainer(EpochDriver):
             w = cfg.patch_size
             bt = lab_idx.shape[0]
             rng, k_noise, k_drop = jax.random.split(state.rng, 3)
-            nk = jax.random.split(k_noise, 6)
 
             xp_l = in_cast(gather_xp(padded, lab_idx, cols, w))
             x_l = in_cast(gather_spectra(spectra, lab_idx))
             xp_u = in_cast(gather_xp(padded, unl_idx, cols, w))
             x_u = in_cast(gather_spectra(spectra, unl_idx))
 
-            def noisy(k, a, scale=cfg.noise):
-                return a + jax.random.normal(k, a.shape, a.dtype) * scale
-
             # trian_CCT.py:179-197: noisy labeled inputs, noisy unlabeled
-            xp_all = jnp.concatenate([noisy(nk[0], xp_l),
-                                      noisy(nk[1], xp_u)], axis=0)
-            x_all = jnp.concatenate([noisy(nk[2], x_l),
-                                     noisy(nk[3], x_u)], axis=0)
+            if cfg.noise_fused:
+                nk = jax.random.split(k_noise, 4)
+                xp_all = noisy(nk[0], jnp.concatenate([xp_l, xp_u],
+                                                      axis=0))
+                x_all = noisy(nk[1], jnp.concatenate([x_l, x_u], axis=0))
+                k_fea1, k_fea2 = nk[2], nk[3]
+            else:
+                nk = jax.random.split(k_noise, 6)
+                xp_all = jnp.concatenate([noisy(nk[0], xp_l),
+                                          noisy(nk[1], xp_u)], axis=0)
+                x_all = jnp.concatenate([noisy(nk[2], x_l),
+                                         noisy(nk[3], x_u)], axis=0)
+                k_fea1, k_fea2 = nk[4], nk[5]
 
             def loss_fn(params):
                 fea_all, _ = encoder.apply(
@@ -200,8 +209,8 @@ class CCTTrainer(EpochDriver):
                 cls = cross_entropy(lab_out, lab_y)
 
                 # feature-space perturbations (trian_CCT.py:205-206)
-                fea_aug1 = noisy(nk[4], fea_un)
-                fea_aug2 = noisy(nk[5], fea_un)
+                fea_aug1 = noisy(k_fea1, fea_un)
+                fea_aug2 = noisy(k_fea2, fea_un)
                 origin_out = head.apply({"params": params["dec_base"]},
                                         fea_un)
                 aug_out1 = head.apply({"params": params["dec1"]}, fea_aug1)

@@ -73,7 +73,8 @@ class CMLPLTrainer(EpochDriver):
 
         config = dataclasses.replace(config, gather_impl=resolve_gather_impl(
             config.gather_impl, num_unlabel=config.num_unlabel,
-            patch_size=config.patch_size, n_pc=config.n_pc))
+            patch_size=config.patch_size, n_pc=config.n_pc,
+            num_labeled=config.num_label * config.num_classes))
         self.config = config
         self.mesh = mesh
 
@@ -198,6 +199,9 @@ class CMLPLTrainer(EpochDriver):
 
         # input/view dtype at the dispatch boundary (state.py input_dtype)
         in_cast = make_input_cast(cfg.compute_dtype, cfg.input_dtype)
+        from cmlpl_tpu.ops.noise import make_noiser, two_net_views
+
+        noisy = make_noiser(cfg.noise_impl, cfg.noise)
 
         pool_mode = cfg.gather_impl == "pool"
         if pool_mode:
@@ -234,8 +238,6 @@ class CMLPLTrainer(EpochDriver):
             else:
                 rng, k_noise, k_drop_b, k_drop_e = jax.random.split(
                     state.rng, 4)
-            nk = jax.random.split(k_noise, 8)
-
             # on-device gather (train.py:156-167 did host->device copies);
             # ``padded`` arrives pre-prepped (prep_cube) from the entry fns
             xp_l = in_cast(gather_xp(padded, lab_idx, cols, w))
@@ -265,18 +267,9 @@ class CMLPLTrainer(EpochDriver):
                 xp_l = augmented(xp_l, ak[:4], lab_y)
                 xp_u = augmented(xp_u, ak[4:])
 
-            def noisy(k, a):
-                return a + jax.random.normal(k, a.shape, a.dtype) * cfg.noise
-
             # independent Gaussian views per net (train.py:157-184)
-            xp_b_all = jnp.concatenate([noisy(nk[0], xp_l),
-                                        noisy(nk[1], xp_u)], axis=0)
-            x_b_all = jnp.concatenate([noisy(nk[2], x_l),
-                                       noisy(nk[3], x_u)], axis=0)
-            xp_e_all = jnp.concatenate([noisy(nk[4], xp_l),
-                                        noisy(nk[5], xp_u)], axis=0)
-            x_e_all = jnp.concatenate([noisy(nk[6], x_l),
-                                       noisy(nk[7], x_u)], axis=0)
+            xp_b_all, x_b_all, xp_e_all, x_e_all = two_net_views(
+                noisy, cfg.noise_fused, k_noise, xp_l, x_l, xp_u, x_u)
 
             onehot = jax.nn.one_hot(lab_y, cfg.num_classes,
                                     dtype=jnp.float32)

@@ -55,7 +55,8 @@ class CPSTrainer(EpochDriver):
 
         config = dataclasses.replace(config, gather_impl=resolve_gather_impl(
             config.gather_impl, num_unlabel=config.num_unlabel,
-            patch_size=config.patch_size, n_pc=config.n_pc))
+            patch_size=config.patch_size, n_pc=config.n_pc,
+            num_labeled=config.num_label * config.num_classes))
         self.config = config
         self.mesh = mesh
 
@@ -144,6 +145,9 @@ class CPSTrainer(EpochDriver):
 
         # input/view dtype at the dispatch boundary (state.py input_dtype)
         in_cast = make_input_cast(cfg.compute_dtype, cfg.input_dtype)
+        from cmlpl_tpu.ops.noise import make_noiser, two_net_views
+
+        noisy = make_noiser(cfg.noise_impl, cfg.noise)
 
         pool_mode = cfg.gather_impl == "pool"
         if pool_mode:
@@ -166,24 +170,14 @@ class CPSTrainer(EpochDriver):
             w = cfg.patch_size
             bt = lab_idx.shape[0]
             rng, k_noise, k_db, k_de = jax.random.split(state.rng, 4)
-            nk = jax.random.split(k_noise, 8)
 
             xp_l = in_cast(gather_xp(padded, lab_idx, cols, w))
             x_l = in_cast(gather_spectra(spectra, lab_idx))
             xp_u = in_cast(gather_xp(padded, unl_idx, cols, w))
             x_u = in_cast(gather_spectra(spectra, unl_idx))
 
-            def noisy(k, a):
-                return a + jax.random.normal(k, a.shape, a.dtype) * cfg.noise
-
-            xp_b = jnp.concatenate([noisy(nk[0], xp_l),
-                                    noisy(nk[1], xp_u)], axis=0)
-            x_b = jnp.concatenate([noisy(nk[2], x_l),
-                                   noisy(nk[3], x_u)], axis=0)
-            xp_e = jnp.concatenate([noisy(nk[4], xp_l),
-                                    noisy(nk[5], xp_u)], axis=0)
-            x_e = jnp.concatenate([noisy(nk[6], x_l),
-                                   noisy(nk[7], x_u)], axis=0)
+            xp_b, x_b, xp_e, x_e = two_net_views(
+                noisy, cfg.noise_fused, k_noise, xp_l, x_l, xp_u, x_u)
 
             def loss_fn(params_pair):
                 params_b, params_e = params_pair

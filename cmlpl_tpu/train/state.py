@@ -21,6 +21,11 @@ class CMLPLConfig:
     n_pc: int = 60
     patch_size: int = 20
 
+    # labeled pixels drawn per class by the split recipe (train.py:357,
+    # sample_generation.py:52-63); num_label * num_classes bounds the
+    # labeled uniques a pre-gathered pool can contain
+    num_label: int = 5
+
     labeled_batch: int = 128       # train.py:361
     unlabeled_batch: int = 128     # train.py:362
     val_batch: int = 512           # train.py:363
@@ -54,6 +59,17 @@ class CMLPLConfig:
     #              bf16 knob — kept for A/B).
     input_dtype: str = "compute"
     rng_impl: str = "threefry2x32"   # "rbg" is much faster on TPU
+    # Gaussian input-view knobs (ops/noise.py; both change the realised
+    # random stream like rng_impl, so default-off pending the OA study):
+    #   noise_impl   "normal" (reference distribution) | "binom16"
+    #                (standardised Binomial(16,1/2) via population_count
+    #                — no erfinv)
+    #   noise_fused  draw each net's labeled||unlabeled view with ONE
+    #                key over the concatenated tensor (4 RNG kernels
+    #                instead of 8; same element distribution and
+    #                cross-view independence)
+    noise_impl: str = "normal"
+    noise_fused: bool = False
     # training patch-gather implementation:
     #   "auto"        (default) resolve at trainer construction: "pool"
     #                 when the trainer supports it and the pool fits the

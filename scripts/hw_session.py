@@ -10,7 +10,8 @@ Items (skip any with --skip, add repeats where supported):
   1. native_serve_ab  — C++ PJRT host vs in-process predictor, bit-exact
   2. native_train_ab  — C++ host runs the WHOLE training run, bit-exact
   3. ab_multi_run     — fused multi-seed dispatch vs serial loop
-  4. bench            — headline bench.py (min/mean of 3 + roofline)
+  4. ab_noise         — noise-view knob A/B, interleaved (VERDICT r3 #4)
+  5. bench            — headline bench.py (min/mean of 3 + roofline)
 
 Usage:
     python scripts/hw_session.py                 # all items
@@ -42,6 +43,9 @@ ITEMS = [
     ("ab_multi_run",
      [sys.executable, "scripts/ab_multi_run.py"],
      2400),
+    ("ab_noise",
+     [sys.executable, "scripts/ab_noise.py", "--rounds", "3"],
+     3600),
     ("bench",
      [sys.executable, "bench.py"],
      1800),

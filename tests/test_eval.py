@@ -173,6 +173,73 @@ def test_dense_eval_matches_patch_eval(tiny_scene, tiny_splits):
                        gather="dense")({"conv0": params["conv0"]}, scene)
 
 
+def test_dense_disagreement_is_conv_pad_semantics_only(tiny_scene):
+    """Pin WHERE dense may disagree with the patch evaluator (VERDICT r3
+    item 8).
+
+    The only divergence source is conv zero-pad placement: the patch
+    evaluator zero-pads each patch's OWN 3x3 conv halo (the w-wide patch
+    border, distance w/2 from its centre pixel — models.py:104-111 pad
+    semantics), while the dense pass pads only at the padded-cube border
+    and sees true neighbours everywhere else.  That halo sits inside
+    EVERY pixel's classifier receptive field, so disagreements on a
+    trained net are border-CONCENTRATED but not border-confined
+    (measured, trained nets, 48x40 scenes at all four geometries: ~1-3%
+    of pixels disagree, roughly two thirds within w/2 of the scene
+    border, the rest interior).
+
+    The pin: restrict conv1/conv2 to their centre tap — padding can then
+    influence nothing — and the dense logits must match the true patch
+    logits everywhere, border and interior alike, up to summation-order
+    float noise.  This proves there is no OTHER divergence (pooling
+    arithmetic, classifier fold, spectral branch) hiding behind the
+    boundary story."""
+    import jax.numpy as jnp
+
+    from cmlpl_tpu.eval.inference import dense_scene_logits
+
+    scene = tiny_scene
+    model = BaseNet2(num_features=103, num_classes=9, n_pc=scene.n_pc)
+    xp0 = jnp.zeros((1, 20, 20, scene.n_pc))
+    x0 = jnp.zeros((1, 103))
+    params = model.init(jax.random.key(3), xp0, x0,
+                        train=False)["params"]
+
+    def center_tap_only(p):
+        k = np.array(p["kernel"])  # (3, 3, I, O)
+        out = np.zeros_like(k)
+        out[1, 1] = k[1, 1]
+        return dict(p, kernel=jnp.asarray(out))
+
+    params = dict(params, conv1=center_tap_only(params["conv1"]),
+                  conv2=center_tap_only(params["conv2"]))
+
+    # true patch logits: the padded-cube window gather + model forward
+    idx = np.arange(scene.num_pixels, dtype=np.int32)
+    r, c = idx // scene.cols, idx % scene.cols
+    padded = np.asarray(scene.padded_pca)
+
+    def patch_logits(chunk):
+        xp = np.stack([padded[ri:ri + 20, ci:ci + 20, :scene.n_pc]
+                       for ri, ci in chunk])
+        x = np.asarray(scene.spectra)[chunk[:, 0] * scene.cols
+                                      + chunk[:, 1]]
+        return np.asarray(model.apply({"params": params}, jnp.asarray(xp),
+                                      jnp.asarray(x), train=False)[0])
+
+    rc = np.stack([r, c], axis=1)
+    pl = np.concatenate([patch_logits(rc[i:i + 512])
+                         for i in range(0, len(rc), 512)])
+    dl = np.asarray(dense_scene_logits(params, scene))
+
+    np.testing.assert_allclose(dl, pl, rtol=2e-4, atol=2e-4)
+    mismatch = np.argmax(dl, -1) != np.argmax(pl, -1)
+    if mismatch.any():
+        # an argmax flip is only acceptable at a float-noise tie
+        gaps = np.sort(pl[mismatch], axis=-1)
+        assert (gaps[:, -1] - gaps[:, -2] < 1e-3).all()
+
+
 def test_dense_eval_sharded_matches_single_device(tiny_scene):
     """Dense eval GSPMD-partitions over the mesh (rows sharded inside
     the jit via with_sharding_constraint; XLA inserts conv halo

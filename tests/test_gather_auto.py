@@ -7,10 +7,13 @@ users on default flags get the +22.6% path (docs/BENCHMARKS.md
 to the per-step dynamic-slice gather everywhere else.
 """
 
+import dataclasses
+
 import numpy as np
 
 from cmlpl_tpu.ops.patch_gather import (
     POOL_AUTO_BUDGET_BYTES,
+    POOL_BUCKET,
     resolve_gather_impl,
 )
 from cmlpl_tpu.train.cct import CCTTrainer
@@ -26,7 +29,8 @@ TINY = dict(num_classes=4, num_features=16, n_pc=6, patch_size=8,
 def test_resolution_rules():
     # reference schedule (PaviaU defaults): pool is ~0.97 GB -> pool
     assert resolve_gather_impl(
-        "auto", num_unlabel=10000, patch_size=20, n_pc=60) == "pool"
+        "auto", num_unlabel=10000, patch_size=20, n_pc=60,
+        num_labeled=45) == "pool"
     # a pool past the budget falls back to the per-step gather
     assert resolve_gather_impl(
         "auto", num_unlabel=300000, patch_size=20, n_pc=60) == "xla"
@@ -38,12 +42,38 @@ def test_resolution_rules():
     for impl in ("xla", "pool", "pallas", "pallas_bf16"):
         assert resolve_gather_impl(
             impl, num_unlabel=10**9, patch_size=20, n_pc=60) == impl
-    # the budget boundary is the documented formula
-    rows = POOL_AUTO_BUDGET_BYTES // (20 * 20 * 60 * 4)
+    # the budget boundary is the documented formula: uniques rounded up
+    # to the poolify bucket, f32 row bytes
+    max_rows = POOL_AUTO_BUDGET_BYTES // (20 * 20 * 60 * 4)
+    fit = (max_rows // POOL_BUCKET) * POOL_BUCKET  # largest bucketed fit
     assert resolve_gather_impl(
-        "auto", num_unlabel=rows - 1024, patch_size=20, n_pc=60) == "pool"
+        "auto", num_unlabel=fit, patch_size=20, n_pc=60) == "pool"
     assert resolve_gather_impl(
-        "auto", num_unlabel=rows - 1023, patch_size=20, n_pc=60) == "xla"
+        "auto", num_unlabel=fit + 1, patch_size=20, n_pc=60) == "xla"
+
+
+def test_resolution_counts_labeled_uniques():
+    """The labeled side must be derived from the schedule (VERDICT r3
+    item 6): a many-class/many-shot split pushes the pool over budget
+    even when num_unlabel alone would fit."""
+    max_rows = POOL_AUTO_BUDGET_BYTES // (20 * 20 * 60 * 4)
+    fit = (max_rows // POOL_BUCKET) * POOL_BUCKET
+    assert resolve_gather_impl(
+        "auto", num_unlabel=fit - 4096, patch_size=20, n_pc=60,
+        num_labeled=0) == "pool"
+    # num_label=500 x 16 classes = 8000 labeled uniques -> over budget
+    assert resolve_gather_impl(
+        "auto", num_unlabel=fit - 4096, patch_size=20, n_pc=60,
+        num_labeled=8000) == "xla"
+    # and the trainers pass num_label * num_classes through: same
+    # schedule via a trainer config resolves to xla, not pool
+    big = CMLPLConfig(num_classes=16, num_features=16, n_pc=60,
+                      patch_size=20, labeled_batch=8, unlabeled_batch=8,
+                      num_unlabel=fit - 4096, num_label=500, num_epochs=1)
+    t = CMLPLTrainer(big, donate=False)
+    assert t.config.gather_impl == "xla"
+    small = dataclasses.replace(big, num_label=5)
+    assert CMLPLTrainer(small, donate=False).config.gather_impl == "pool"
 
 
 def test_trainers_resolve_auto_to_pool():
