@@ -11,7 +11,8 @@ Items (skip any with --skip, add repeats where supported):
   2. native_train_ab  — C++ host runs the WHOLE training run, bit-exact
   3. ab_multi_run     — fused multi-seed dispatch vs serial loop
   4. ab_noise         — noise-view knob A/B, interleaved (VERDICT r3 #4)
-  5. bench            — headline bench.py (min/mean of 3 + roofline)
+  5. profile_fast_stack — perfetto trace of the pool+rbg+bf16 stack
+  6. bench            — headline bench.py (min/mean of 3 + roofline)
 
 Usage:
     python scripts/hw_session.py                 # all items
@@ -46,6 +47,16 @@ ITEMS = [
     ("ab_noise",
      [sys.executable, "scripts/ab_noise.py", "--rounds", "3"],
      3600),
+    # fresh perfetto trace of the fast stack (pool+rbg+bf16) — the r3
+    # trace that guides conv-side work was f32-pool; capture the bf16
+    # breakdown so the next conv lever is chosen from evidence
+    ("profile_fast_stack",
+     [sys.executable, "-c",
+      "from cmlpl_tpu.cli.train import main; main(["
+      "'--dataID','1','--num_epochs','2','--rng_impl','rbg',"
+      "'--compute_dtype','bfloat16',"
+      "'--profile_dir','docs/profiles/r4_fast'])"],
+     2400),
     ("bench",
      [sys.executable, "bench.py"],
      1800),

@@ -88,6 +88,23 @@ def test_unfused_matches_reference_structure():
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+def test_ab_noise_variants_are_valid_config_knobs():
+    """scripts/ab_noise.py's variant table must stay constructible
+    CMLPLConfig knobs (the hw_session item runs unattended — a drifted
+    field name should fail here, not on the chip)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "ab_noise.py")
+    spec = importlib.util.spec_from_file_location("ab_noise", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for name, kw in mod.VARIANTS.items():
+        cfg = CMLPLConfig(**kw)
+        assert cfg.noise_impl in ("normal", "binom16"), name
+
+
 @pytest.mark.parametrize("knobs", [dict(noise_fused=True),
                                    dict(noise_impl="binom16")])
 def test_trainer_runs_with_knobs(tiny_scene, tiny_splits, knobs):
