@@ -102,12 +102,21 @@ def main(argv=None):
         print(out[-2000:], flush=True)
         print(f"=== {name}: {status} "
               f"({session['items'][name]['wall_s']} s)", flush=True)
+        # bank incrementally: the relay has died mid-session before
+        # (CLAUDE.md outage log); items already measured must survive
+        _write(args.out, session)
 
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(session, f, indent=1)
+    _write(args.out, session)
     print(f"session log -> {args.out}")
     return session
+
+
+def _write(out_path: str, session: dict) -> None:
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(session, f, indent=1)
+    os.replace(tmp, out_path)
 
 
 if __name__ == "__main__":

@@ -362,7 +362,7 @@ def main(argv=None):
         with open(args.ref_json) as f:
             prior = json.load(f)
         recorded_ref = {a: e["reference"] for a, e in prior.items()
-                        if "reference" in e}
+                        if isinstance(e, dict) and "reference" in e}
 
     results = {}
     for algo in args.algos:

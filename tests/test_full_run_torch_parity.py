@@ -18,6 +18,9 @@ step's loss terms and the final Adam-updated parameters must agree.
 
 import numpy as np
 import jax
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute transplant oracle (VERDICT r3 item 5)
 import jax.numpy as jnp
 import torch
 

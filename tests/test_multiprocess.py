@@ -18,6 +18,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # 2-process pod cluster tests (VERDICT r3 item 5)
+
 _WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "multiproc_worker.py")
 

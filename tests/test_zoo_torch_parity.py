@@ -18,6 +18,8 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+pytestmark = pytest.mark.slow  # torch-transplant forward-parity oracles (VERDICT r3 item 5)
+
 from cmlpl_tpu.models.zoo import build_model
 from cmlpl_tpu.registry import get_dataset
 
