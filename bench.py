@@ -23,6 +23,7 @@ oracle): REF_CPU_PPS_MEASURED on this image's 1-vCPU host, recorded
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -92,21 +93,46 @@ def hbm_bytes_per_step(cfg) -> float:
     return float(patch + views + params + queue)
 
 
+LAST_RESULT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "docs", "bench_last.json")
+
+
 def _tunnel_preflight() -> None:
     """Fail fast with a parseable JSON line when the TPU tunnel's relay
     is down, instead of hanging in the plugin's claim-retry loop forever
-    (utils/tunnel.py; outage observed 2026-08-18)."""
+    (utils/tunnel.py; outage observed 2026-08-18).
+
+    The failure line carries the most recent successfully-banked result
+    (docs/bench_last.json, written by every green run) as ``last_known``
+    — value stays null because nothing was measured NOW, but a relay
+    outage at capture time no longer erases the round's real number."""
     from cmlpl_tpu.utils.tunnel import relay_address, relay_reachable
 
     if not relay_reachable():
         host, port = relay_address()
-        print(json.dumps({
+        payload = {
             "metric": "cmlpl_train_patches_per_sec_per_chip",
             "value": None, "unit": "patches/s/chip", "vs_baseline": None,
             "error": f"axon pool-service relay ({host}:{port}) is "
                      "unreachable — TPU tunnel down; see CLAUDE.md "
-                     "round-3e outage record"}))
+                     "round-3e outage record"}
+        try:
+            with open(LAST_RESULT_PATH) as f:
+                payload["last_known"] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
+        print(json.dumps(payload))
         raise SystemExit(1)
+
+
+def _bank_result(result: dict) -> None:
+    """Persist the full result of a green run for the preflight above."""
+    result = dict(result, measured_utc=time.strftime(
+        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
+    tmp = LAST_RESULT_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(result, f, indent=1)
+    os.replace(tmp, LAST_RESULT_PATH)
 
 
 def main() -> None:
@@ -227,7 +253,7 @@ def main() -> None:
     scene_bf16_sec = time.perf_counter() - t0
     bf16_agree = float(np.mean(pb == pred))
 
-    print(json.dumps({
+    result = {
         "metric": "cmlpl_train_patches_per_sec_per_chip",
         "value": round(pps_per_chip, 1),
         "unit": "patches/s/chip",
@@ -280,7 +306,9 @@ def main() -> None:
                 "derivation": BASELINE_DERIVATION,
             },
         },
-    }))
+    }
+    _bank_result(result)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

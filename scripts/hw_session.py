@@ -7,12 +7,14 @@ each pending hardware item as a bounded subprocess, captures stdout,
 and writes one session log, so a single command banks every number.
 
 Items (skip any with --skip, add repeats where supported):
-  1. native_serve_ab  — C++ PJRT host vs in-process predictor, bit-exact
-  2. native_train_ab  — C++ host runs the WHOLE training run, bit-exact
-  3. ab_multi_run     — fused multi-seed dispatch vs serial loop
-  4. ab_noise         — noise-view knob A/B, interleaved (VERDICT r3 #4)
-  5. profile_fast_stack — perfetto trace of the pool+rbg+bf16 stack
-  6. bench            — headline bench.py (min/mean of 3 + roofline)
+  1. bench            — headline bench.py FIRST (the number the r3
+                        mid-session relay drop lost); also refreshes
+                        docs/bench_last.json for the driver preflight
+  2. native_serve_ab  — C++ PJRT host vs in-process predictor, bit-exact
+  3. native_train_ab  — C++ host runs the WHOLE training run, bit-exact
+  4. ab_multi_run     — fused multi-seed dispatch vs serial loop
+  5. ab_noise         — noise-view knob A/B, interleaved (VERDICT r3 #4)
+  6. profile_fast_stack — perfetto trace of the pool+rbg+bf16 stack
 
 Usage:
     python scripts/hw_session.py                 # all items
@@ -35,6 +37,12 @@ sys.path.insert(0, REPO)
 from cmlpl_tpu.utils.tunnel import require_tunnel  # noqa: E402
 
 ITEMS = [
+    # bench FIRST: it is the driver-facing headline and the number the
+    # r3 mid-session relay drop actually lost (BENCH_r03.json null); if
+    # the window is short, bank it before anything else
+    ("bench",
+     [sys.executable, "bench.py"],
+     1800),
     ("native_serve_ab",
      [sys.executable, "scripts/native_serve_ab.py", "--repeats", "3"],
      1800),
@@ -57,9 +65,6 @@ ITEMS = [
       "'--compute_dtype','bfloat16',"
       "'--profile_dir','docs/profiles/r4_fast'])"],
      2400),
-    ("bench",
-     [sys.executable, "bench.py"],
-     1800),
 ]
 
 

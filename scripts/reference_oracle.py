@@ -206,11 +206,23 @@ def run_ours(algo: str, args, workdir: str, splits_dir: str,
 
     ours_dir = os.path.join(workdir, "ours")
     os.makedirs(ours_dir, exist_ok=True)
+    # Per-seed banking: multi-hour 1-vCPU runs have been killed twice by
+    # host reboots; bank each finished seed so a crash resumes, not
+    # restarts (mirrors hw_session.py's incremental session JSON).
+    partial_path = os.path.abspath(
+        os.path.join(workdir, f"ours_{algo}.partial.json"))
     cwd = os.getcwd()
     os.chdir(ours_dir)
     try:
         oa_a, oa_b, secs = [], [], []
-        for s in range(args.seeds):
+        if os.path.exists(partial_path):
+            with open(partial_path) as f:
+                prev = json.load(f)
+            oa_a, oa_b = prev["oa_a"], prev["oa_b"]
+            secs = prev["sec_per_seed"]
+            print(f"[ours {algo}] resuming: {len(oa_a)} seeds banked in "
+                  f"{partial_path}", file=sys.stderr)
+        for s in range(len(oa_a), args.seeds):
             flags = [
                 "--dataID", GEOMETRIES[args.geometry]["ours_id"],
                 "--n_PC", "60", "--w", "20",
@@ -240,6 +252,11 @@ def run_ours(algo: str, args, workdir: str, splits_dir: str,
                   f"OA={oa_a[-1]:.2f}"
                   + (f" OA1={oa_b[-1]:.2f}" if oa_b else "")
                   + f" ({secs[-1]:.0f}s)", file=sys.stderr)
+            tmp = partial_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"oa_a": oa_a, "oa_b": oa_b,
+                           "sec_per_seed": secs}, f)
+            os.replace(tmp, partial_path)
         return {"oa_a": oa_a, "oa_b": oa_b, "sec_per_seed": secs}
     finally:
         os.chdir(cwd)
