@@ -29,6 +29,13 @@ import time
 import jax
 import numpy as np
 
+from cmlpl_tpu.utils.cache import enable_compile_cache
+
+# Mosaic remote compiles dominate cold bench wall time (~12 min cold vs
+# ~3 min warm); when a relay window opens, recompiling is time not
+# measuring.  Backends that can't serialize executables skip the cache.
+enable_compile_cache()
+
 REF_GPU_PATCHES_PER_SEC_EST = 10_000.0
 # measured by scripts/measure_reference.py on this image (torch CPU,
 # reference step math via the whole-step-parity torch oracle; three runs

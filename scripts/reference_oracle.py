@@ -58,6 +58,13 @@ os.environ.setdefault("MPLBACKEND", "Agg")
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
+from cmlpl_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+# the ours-side CLI mains compile the fused run in-process; on this
+# 1-vCPU host that cold compile is minutes — cache it so killed/resumed
+# multi-seed sessions (see the .partial.json banking) don't re-pay it
+enable_compile_cache()
+
 
 # --------------------------------------------------------------------- #
 # shims
@@ -171,8 +178,21 @@ def run_reference(algo: str, args, workdir: str) -> dict:
 
         mod.CalAccuracy = recording_cal
 
+        # per-seed banking, mirroring run_ours: reference seeds cost
+        # 117-402 s each on this 1-vCPU torch — a killed session resumes
+        # instead of restarting (two multi-hour runs were lost to host
+        # reboots before the ours-side banking landed)
+        partial_path = os.path.abspath(
+            os.path.join(workdir, f"ref_{algo}.partial.json"))
         oa_a, oa_b, secs = [], [], []
-        for s in range(args.seeds):
+        if os.path.exists(partial_path):
+            with open(partial_path) as f:
+                prev = json.load(f)
+            oa_a, oa_b = prev["oa_a"], prev["oa_b"]
+            secs = prev["sec_per_seed"]
+            print(f"[ref {algo}] resuming: {len(oa_a)} seeds banked in "
+                  f"{partial_path}", file=sys.stderr)
+        for s in range(len(oa_a), args.seeds):
             records.clear()
             mod.seed_torch(args.seed0 + s)
             t0 = time.time()
@@ -186,6 +206,11 @@ def run_reference(algo: str, args, workdir: str) -> dict:
                   f"OA={oa_a[-1]:.2f}"
                   + (f" OA1={oa_b[-1]:.2f}" if oa_b else "")
                   + f" ({secs[-1]:.0f}s)", file=sys.stderr)
+            tmp = partial_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"oa_a": oa_a, "oa_b": oa_b,
+                           "sec_per_seed": secs}, f)
+            os.replace(tmp, partial_path)
         return {"oa_a": oa_a, "oa_b": oa_b, "sec_per_seed": secs}
     finally:
         os.chdir(cwd)
