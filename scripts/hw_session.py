@@ -55,6 +55,18 @@ ITEMS = [
     ("ab_noise",
      [sys.executable, "scripts/ab_noise.py", "--rounds", "3"],
      3600),
+    # ours-side CCT seeds vs the banked 12-seed reference distribution
+    # (VERDICT r3 item 7).  On TPU a seed is ~10 s vs ~10 min on this
+    # 1-vCPU CPU (the r4 CPU fallback run); if the CPU run already
+    # produced docs/cct_ab_r4.json this recomputes on TPU in under two
+    # minutes anyway — same analysis, separate workdir/provenance.
+    ("cct_ab_tpu",
+     [sys.executable, "scripts/reference_oracle.py", "--algos", "cct",
+      "--seeds", "12", "--skip_ref",
+      "--ref_json", "docs/cct_ref_seeds_r4.json", "--ours_tpu",
+      "--workdir", "/tmp/cct_ab_tpu",
+      "--out", os.path.join(REPO, "docs", "cct_ab_r4_tpu.json")],
+     3600),
     # fresh perfetto trace of the fast stack (pool+rbg+bf16) — the r3
     # trace that guides conv-side work was f32-pool; capture the bf16
     # breakdown so the next conv lever is chosen from evidence

@@ -435,6 +435,7 @@ def main(argv=None):
         print(json.dumps(entry))
 
     out = os.path.join(workdir, args.out)
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}", file=sys.stderr)
