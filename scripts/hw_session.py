@@ -67,6 +67,24 @@ ITEMS = [
       "--workdir", "/tmp/cct_ab_tpu",
       "--out", os.path.join(REPO, "docs", "cct_ab_r4_tpu.json")],
      3600),
+    # same for cmlpl + cps against the r4 reference-side banks (seeded
+    # from the r3 n=3 run; the CPU-torch extension run appends seeds as
+    # it banks them — ours n may exceed ref n, which the verdict's
+    # per-side SE handles)
+    ("cmlpl_ab_tpu",
+     [sys.executable, "scripts/reference_oracle.py", "--algos", "cmlpl",
+      "--seeds", "12", "--skip_ref",
+      "--ref_json", "docs/cmlpl_ref_seeds_r4.json", "--ours_tpu",
+      "--workdir", "/tmp/cmlpl_ab_tpu",
+      "--out", os.path.join(REPO, "docs", "cmlpl_ab_r4_tpu.json")],
+     3600),
+    ("cps_ab_tpu",
+     [sys.executable, "scripts/reference_oracle.py", "--algos", "cps",
+      "--seeds", "12", "--skip_ref",
+      "--ref_json", "docs/cps_ref_seeds_r4.json", "--ours_tpu",
+      "--workdir", "/tmp/cps_ab_tpu",
+      "--out", os.path.join(REPO, "docs", "cps_ab_r4_tpu.json")],
+     3600),
     # fresh perfetto trace of the fast stack (pool+rbg+bf16) — the r3
     # trace that guides conv-side work was f32-pool; capture the bf16
     # breakdown so the next conv lever is chosen from evidence
