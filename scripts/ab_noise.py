@@ -35,6 +35,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
+from cmlpl_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+# hardware windows are scarce (relay outage log in CLAUDE.md): reuse the
+# repo-local compile cache so an A/B session measures instead of
+# recompiling — the cached executables run identical numerics.
+enable_compile_cache()
+
 ROWS, COLS = 610, 340
 
 VARIANTS = {
@@ -54,7 +61,23 @@ def main() -> None:
     p.add_argument("--f32", action="store_true",
                    help="run at reference numerics (threefry + f32) "
                         "instead of the fast stack")
+    p.add_argument("--rows", type=int, default=ROWS)
+    p.add_argument("--cols", type=int, default=COLS)
+    p.add_argument("--num_epochs", type=int, default=None,
+                   help="override CMLPLConfig.num_epochs (mechanics "
+                        "checks; timings are only meaningful at the "
+                        "default schedule)")
+    p.add_argument("--cpu", action="store_true",
+                   help="mechanics check on host CPU: forces "
+                        "jax_platforms=cpu and skips the tunnel "
+                        "preflight. Timings are meaningless; use tiny "
+                        "--rows/--cols/--num_epochs.")
     args = p.parse_args()
+
+    if args.cpu:
+        # before any backend init (the image's sitecustomize otherwise
+        # registers the tunneled TPU backend — CLAUDE.md gotcha 1)
+        jax.config.update("jax_platforms", "cpu")
 
     from cmlpl_tpu.core.mesh import create_mesh
     from cmlpl_tpu.data import (SemiSupervisedSampler, generate_splits,
@@ -63,10 +86,11 @@ def main() -> None:
     from cmlpl_tpu.train import CMLPLConfig, CMLPLTrainer
     from cmlpl_tpu.utils.tunnel import require_tunnel
 
-    require_tunnel()
+    if not args.cpu:
+        require_tunnel()
 
     spec = get_dataset(1)
-    cube, gt = synthetic_scene(spec, rows=ROWS, cols=COLS)
+    cube, gt = synthetic_scene(spec, rows=args.rows, cols=args.cols)
     scene = prepare_scene(spec, cube=cube, gt=gt, patch_size=20, n_pc=60)
     splits = generate_splits(scene.labels, num_label=5)
     fast = ({} if args.f32 else
@@ -78,11 +102,20 @@ def main() -> None:
         return float(np.asarray(metrics["acc"]).ravel()[-1])
 
     mesh = create_mesh()
+    overrides = {}
+    if args.num_epochs is not None:
+        overrides["num_epochs"] = args.num_epochs
+    if args.cpu:
+        # tiny scenes can hold fewer unlabeled pixels than the
+        # reference default schedule assumes
+        n_unlab = len(splits.unlabeled)
+        overrides["num_unlabel"] = min(2048, (n_unlab // 64) * 64)
     runs = {}
     for name in args.variants:
         cfg = CMLPLConfig(num_classes=spec.num_classes,
                           num_features=spec.num_bands,
-                          gather_impl="pool", **fast, **VARIANTS[name])
+                          gather_impl="pool", **fast, **overrides,
+                          **VARIANTS[name])
         sampler = SemiSupervisedSampler(
             splits, scene.labels, cfg.labeled_batch, cfg.unlabeled_batch,
             num_unlabel=cfg.num_unlabel)
