@@ -107,8 +107,13 @@ def main() -> None:
         overrides["num_epochs"] = args.num_epochs
     if args.cpu:
         # tiny scenes can hold fewer unlabeled pixels than the
-        # reference default schedule assumes
+        # reference default schedule assumes; below one full batch the
+        # schedule would be 0 steps and the A/B would exercise nothing
         n_unlab = len(splits.unlabeled)
+        if n_unlab < 64:
+            raise SystemExit(
+                f"scene holds only {n_unlab} unlabeled pixels "
+                f"(< one 64-patch batch); use a larger --rows/--cols")
         overrides["num_unlabel"] = min(2048, (n_unlab // 64) * 64)
     runs = {}
     for name in args.variants:

@@ -40,7 +40,15 @@ def _load_side(path: str, algo: str, side: str) -> dict:
     if "oa_a" in d:
         return d
     entry = d[algo]
-    return entry[side] if side in entry else entry["reference"]
+    if side not in entry:
+        # no cross-side fallback: passing a reference bank as --ours
+        # would otherwise silently judge reference-vs-reference
+        # (always-overlapping) instead of erroring (advisor, r4)
+        raise SystemExit(
+            f"{path} holds no '{side}' entry for algo '{algo}' "
+            f"(keys: {sorted(entry)}); pass the file that actually "
+            f"carries the {side}-side OA values")
+    return entry[side]
 
 
 def main(argv=None):
@@ -65,6 +73,12 @@ def main(argv=None):
 
     ref = _load_side(args.ref, args.algo, "reference")
     ours = _load_side(args.ours, args.algo, "ours")
+    for name, side in (("ref", ref), ("ours", ours)):
+        n = len(side["oa_a"]) + len(side.get("oa_b") or [])
+        if n < 2:
+            raise SystemExit(
+                f"--{name} side has only {n} OA value(s); a verdict "
+                f"needs >=2 per side (se is undefined at n=1)")
     entry = {
         "algo": args.algo,
         "reference": dict(ref, recorded_from=args.ref),

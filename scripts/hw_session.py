@@ -20,6 +20,15 @@ Usage:
     python scripts/hw_session.py                 # all items
     python scripts/hw_session.py --skip bench    # subset
     python scripts/hw_session.py --out docs/hw_session_r3f.json
+    python scripts/hw_session.py --wait_relay 11 # poll until the relay
+                                                 # returns (<=11 h), then
+                                                 # run everything
+
+--wait_relay exists because manual polling already lost a full round:
+the r4 builder checked the relay every 17 minutes and never caught a
+window (VERDICT r4 item 1).  Start this in the background at the top of
+every session; if the relay comes back for even half an hour, bench and
+the highest-priority A/Bs bank themselves.
 """
 
 from __future__ import annotations
@@ -34,7 +43,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from cmlpl_tpu.utils.tunnel import require_tunnel  # noqa: E402
+from cmlpl_tpu.utils.tunnel import (  # noqa: E402
+    relay_address, relay_reachable, require_tunnel)
 
 ITEMS = [
     # bench FIRST: it is the driver-facing headline and the number the
@@ -85,6 +95,18 @@ ITEMS = [
       "--workdir", "/tmp/cps_ab_tpu",
       "--out", os.path.join(REPO, "docs", "cps_ab_r4_tpu.json")],
      3600),
+    # second-geometry A/B (VERDICT r4 item 7): ours-on-TPU cmlpl seeds at
+    # the Salinas geometry (16 classes x 204 bands, reference dataID-2
+    # path, hyper_tools.py:250-276) against the r5 CPU-torch reference
+    # bank.  Runs only once that bank exists (the CPU run producing it
+    # may still be in flight when the relay returns).
+    ("salinas_ab_tpu",
+     [sys.executable, "scripts/reference_oracle.py", "--algos", "cmlpl",
+      "--geometry", "salinas", "--seeds", "8", "--skip_ref",
+      "--ref_json", "docs/cmlpl_salinas_ref_seeds_r5.json", "--ours_tpu",
+      "--workdir", "/tmp/salinas_ab_tpu",
+      "--out", os.path.join(REPO, "docs", "cmlpl_ab_salinas_r5.json")],
+     3600),
     # fresh perfetto trace of the fast stack (pool+rbg+bf16) — the r3
     # trace that guides conv-side work was f32-pool; capture the bf16
     # breakdown so the next conv lever is chosen from evidence
@@ -98,22 +120,92 @@ ITEMS = [
 ]
 
 
+#: items that consume an artifact another (possibly still-running) job
+#: produces; skipped with a note instead of failing when it is absent
+REQUIRES = {
+    "salinas_ab_tpu": "docs/cmlpl_salinas_ref_seeds_r5.json",
+}
+
+
+def wait_for_relay(max_hours: float, poll_sec: float) -> bool:
+    """Block until the relay accepts connections (True) or the budget
+    runs out (False).  Requires two reachable polls ``poll-stability``
+    apart so a flapping relay doesn't trigger a doomed session."""
+    host, port = relay_address()
+    deadline = time.time() + max_hours * 3600.0
+    n = 0
+    while time.time() < deadline:
+        if relay_reachable(timeout=5.0):
+            time.sleep(10.0)  # stability re-check: outages have flapped
+            if relay_reachable(timeout=5.0):
+                print(f"[wait_relay] {host}:{port} reachable after "
+                      f"{n} polls — starting the session", flush=True)
+                return True
+        n += 1
+        if n % 12 == 1:  # ~hourly at the 5-min default
+            left = (deadline - time.time()) / 3600.0
+            print(f"[wait_relay] {host}:{port} still down "
+                  f"(poll {n}, {left:.1f} h left)", flush=True)
+        time.sleep(min(poll_sec, max(0.0, deadline - time.time())))
+    return False
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--skip", nargs="*", default=[],
                    choices=[name for name, _, _ in ITEMS])
     p.add_argument("--out", type=str,
                    default="docs/hw_session_latest.json")
+    p.add_argument("--wait_relay", type=float, default=None,
+                   metavar="HOURS",
+                   help="poll the relay until it accepts connections "
+                        "(up to HOURS), then run the items; without it "
+                        "a down relay fails immediately")
+    p.add_argument("--poll_sec", type=float, default=300.0)
     args = p.parse_args(argv)
+
+    if args.wait_relay is not None:
+        if not wait_for_relay(args.wait_relay, args.poll_sec):
+            _write(args.out, {
+                "started_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                             time.gmtime()),
+                "relay": "never returned within "
+                         f"{args.wait_relay} h of polling",
+                "items": {}})
+            print(f"[wait_relay] budget exhausted "
+                  f"({args.wait_relay} h); relay never returned",
+                  flush=True)
+            return None
 
     require_tunnel()  # fail in seconds, not hang, if the relay is down
 
     session = {"started_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                             time.gmtime()),
                "items": {}}
+    # overall budget for mid-session re-waits: the relay has died
+    # mid-session before (r3 bench loss); a drop between items should
+    # resume polling, not burn each remaining item's subprocess timeout
+    # hanging in the claim-retry loop
+    session_deadline = (time.time() + args.wait_relay * 3600.0
+                        if args.wait_relay is not None else None)
     for name, cmd, timeout in ITEMS:
         if name in args.skip:
             session["items"][name] = {"status": "skipped"}
+            continue
+        if not relay_reachable(timeout=5.0):
+            left_h = ((session_deadline - time.time()) / 3600.0
+                      if session_deadline else 0.0)
+            if left_h <= 0 or not wait_for_relay(left_h, args.poll_sec):
+                session["items"][name] = {
+                    "status": "relay dropped mid-session"}
+                _write(args.out, session)
+                continue
+        req = REQUIRES.get(name)
+        if req and not os.path.exists(os.path.join(REPO, req)):
+            session["items"][name] = {
+                "status": f"skipped (missing {req} — the CPU run "
+                          "producing it had not finished)"}
+            _write(args.out, session)
             continue
         print(f"=== {name}: {' '.join(cmd)}", flush=True)
         t0 = time.time()

@@ -134,6 +134,62 @@ def reference_args(args, dataID: int = 1) -> argparse.Namespace:
 
 _REF_MODULES = {"cmlpl": "train", "cps": "trian_CPS", "cct": "trian_CCT"}
 
+
+def config_fingerprint(args, side: str) -> dict:
+    """Config identity stamped into the per-seed partial files.
+
+    The partials are keyed only by workdir+algo on disk; without this,
+    rerunning in the same workdir with a different --seed0 / --geometry
+    / scene recipe / --ours_flags would silently resume and mix OA
+    values from incompatible configurations into one distribution
+    (advisor finding, r4)."""
+    fp = {
+        "seed0": args.seed0, "geometry": args.geometry,
+        "rows": args.rows, "cols": args.cols,
+        "noise_std": args.noise_std, "class_sep": args.class_sep,
+        "num_label": args.num_label, "num_epochs": args.num_epochs,
+        "labeled_batch_size": args.labeled_batch_size,
+        "unlabeled_batch_size": args.unlabeled_batch_size,
+        "num_unlabel": args.num_unlabel,
+        "dropout": args.dropout, "lr": args.lr,
+    }
+    if side == "ours":
+        fp["ours_flags"] = list(args.ours_flags)
+    return fp
+
+
+def resume_partial(partial_path: str, fp: dict, tag: str):
+    """Load banked seeds from a partial file, refusing a config mismatch.
+
+    Returns (oa_a, oa_b, sec_per_seed).  Legacy partials written before
+    fingerprinting resume with a warning; a partial carrying a DIFFERENT
+    fingerprint raises (use a fresh --workdir instead of mixing)."""
+    if not os.path.exists(partial_path):
+        return [], [], []
+    with open(partial_path) as f:
+        prev = json.load(f)
+    prev_fp = prev.get("fingerprint")
+    if prev_fp is not None and prev_fp != fp:
+        raise RuntimeError(
+            f"{partial_path} was banked under a different configuration;"
+            f" refusing to mix distributions.\n"
+            f"  banked:  {prev_fp}\n  current: {fp}\n"
+            f"Use a fresh --workdir (or delete the partial).")
+    if prev_fp is None:
+        print(f"[{tag}] WARNING: resuming legacy partial without a "
+              f"config fingerprint: {partial_path}", file=sys.stderr)
+    print(f"[{tag}] resuming: {len(prev['oa_a'])} seeds banked in "
+          f"{partial_path}", file=sys.stderr)
+    return prev["oa_a"], prev["oa_b"], prev["sec_per_seed"]
+
+
+def bank_partial(partial_path: str, fp: dict, oa_a, oa_b, secs) -> None:
+    tmp = partial_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"oa_a": oa_a, "oa_b": oa_b, "sec_per_seed": secs,
+                   "fingerprint": fp}, f)
+    os.replace(tmp, partial_path)
+
 #: A/B scene geometries.  Each entry picks the registry spec whose
 #: (num_classes, num_bands) the synthetic scene copies, the dataID our
 #: CLIs run with, and the reference's hard-coded dataID + dataset dir
@@ -184,14 +240,9 @@ def run_reference(algo: str, args, workdir: str) -> dict:
         # reboots before the ours-side banking landed)
         partial_path = os.path.abspath(
             os.path.join(workdir, f"ref_{algo}.partial.json"))
-        oa_a, oa_b, secs = [], [], []
-        if os.path.exists(partial_path):
-            with open(partial_path) as f:
-                prev = json.load(f)
-            oa_a, oa_b = prev["oa_a"], prev["oa_b"]
-            secs = prev["sec_per_seed"]
-            print(f"[ref {algo}] resuming: {len(oa_a)} seeds banked in "
-                  f"{partial_path}", file=sys.stderr)
+        fp = config_fingerprint(args, "reference")
+        oa_a, oa_b, secs = resume_partial(partial_path, fp,
+                                          f"ref {algo}")
         for s in range(len(oa_a), args.seeds):
             records.clear()
             mod.seed_torch(args.seed0 + s)
@@ -206,11 +257,7 @@ def run_reference(algo: str, args, workdir: str) -> dict:
                   f"OA={oa_a[-1]:.2f}"
                   + (f" OA1={oa_b[-1]:.2f}" if oa_b else "")
                   + f" ({secs[-1]:.0f}s)", file=sys.stderr)
-            tmp = partial_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"oa_a": oa_a, "oa_b": oa_b,
-                           "sec_per_seed": secs}, f)
-            os.replace(tmp, partial_path)
+            bank_partial(partial_path, fp, oa_a, oa_b, secs)
         return {"oa_a": oa_a, "oa_b": oa_b, "sec_per_seed": secs}
     finally:
         os.chdir(cwd)
@@ -239,14 +286,9 @@ def run_ours(algo: str, args, workdir: str, splits_dir: str,
     cwd = os.getcwd()
     os.chdir(ours_dir)
     try:
-        oa_a, oa_b, secs = [], [], []
-        if os.path.exists(partial_path):
-            with open(partial_path) as f:
-                prev = json.load(f)
-            oa_a, oa_b = prev["oa_a"], prev["oa_b"]
-            secs = prev["sec_per_seed"]
-            print(f"[ours {algo}] resuming: {len(oa_a)} seeds banked in "
-                  f"{partial_path}", file=sys.stderr)
+        fp = config_fingerprint(args, "ours")
+        oa_a, oa_b, secs = resume_partial(partial_path, fp,
+                                          f"ours {algo}")
         for s in range(len(oa_a), args.seeds):
             flags = [
                 "--dataID", GEOMETRIES[args.geometry]["ours_id"],
@@ -277,11 +319,7 @@ def run_ours(algo: str, args, workdir: str, splits_dir: str,
                   f"OA={oa_a[-1]:.2f}"
                   + (f" OA1={oa_b[-1]:.2f}" if oa_b else "")
                   + f" ({secs[-1]:.0f}s)", file=sys.stderr)
-            tmp = partial_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"oa_a": oa_a, "oa_b": oa_b,
-                           "sec_per_seed": secs}, f)
-            os.replace(tmp, partial_path)
+            bank_partial(partial_path, fp, oa_a, oa_b, secs)
         return {"oa_a": oa_a, "oa_b": oa_b, "sec_per_seed": secs}
     finally:
         os.chdir(cwd)
@@ -323,8 +361,14 @@ def verdict(ref: dict, ours: dict) -> dict:
     5-shot task is high-variance by construction, SURVEY §7)."""
     r = np.array(ref["oa_a"] + ref["oa_b"])
     o = np.array(ours["oa_a"] + ours["oa_b"])
-    se = float(np.sqrt(r.var(ddof=1) / len(r) + o.var(ddof=1) / len(o))
-               if len(r) > 1 else 0.0)
+    if min(len(r), len(o)) < 2:
+        # var(ddof=1) on a 1-element side is NaN, which would serialize
+        # as a misleading always-fail {"overlapping": false} plus
+        # non-RFC NaN literals (advisor finding, r4)
+        return {"ref_n": int(len(r)), "ours_n": int(len(o)),
+                "overlapping": None,
+                "error": "need >=2 OA values per side for a verdict"}
+    se = float(np.sqrt(r.var(ddof=1) / len(r) + o.var(ddof=1) / len(o)))
     diff = float(o.mean() - r.mean())
     band = max(2.0 * se, 1.0)
     return {
