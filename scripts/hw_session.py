@@ -53,20 +53,15 @@ ITEMS = [
     ("bench",
      [sys.executable, "bench.py"],
      1800),
-    ("native_serve_ab",
-     [sys.executable, "scripts/native_serve_ab.py", "--repeats", "3"],
-     1800),
-    ("native_train_ab",
-     [sys.executable, "scripts/native_train_ab.py", "--num_epochs", "5"],
-     3600),
-    ("ab_multi_run",
-     [sys.executable, "scripts/ab_multi_run.py"],
-     2400),
-    ("ab_noise",
-     [sys.executable, "scripts/ab_noise.py", "--rounds", "3"],
-     3600),
+    # the 12-seed ours-on-TPU A/Bs come right after bench (VERDICT r4
+    # item 1 priority order): the parity verdict's ±4.8 band is the
+    # biggest proof gap after the headline number, the seeds are cheap
+    # on TPU (~10-70 s each), and the per-seed partial banking degrades
+    # gracefully if the relay drops mid-item.  One-shot items (native
+    # A/Bs, profiles) run after.
+    #
     # ours-side CCT seeds vs the banked 12-seed reference distribution
-    # (VERDICT r3 item 7).  On TPU a seed is ~10 s vs ~10 min on this
+    # (VERDICT r3 item 7).  On TPU a seed is ~10 s vs ~40 min on this
     # 1-vCPU CPU (the r4 CPU fallback run); if the CPU run already
     # produced docs/cct_ab_r4.json this recomputes on TPU in under two
     # minutes anyway — same analysis, separate workdir/provenance.
@@ -95,6 +90,18 @@ ITEMS = [
       "--workdir", "/tmp/cps_ab_tpu",
       "--out", os.path.join(REPO, "docs", "cps_ab_r4_tpu.json")],
      3600),
+    ("ab_noise",
+     [sys.executable, "scripts/ab_noise.py", "--rounds", "3"],
+     3600),
+    ("native_serve_ab",
+     [sys.executable, "scripts/native_serve_ab.py", "--repeats", "3"],
+     1800),
+    ("native_train_ab",
+     [sys.executable, "scripts/native_train_ab.py", "--num_epochs", "5"],
+     3600),
+    ("ab_multi_run",
+     [sys.executable, "scripts/ab_multi_run.py"],
+     2400),
     # second-geometry A/B (VERDICT r4 item 7): ours-on-TPU cmlpl seeds at
     # the Salinas geometry (16 classes x 204 bands, reference dataID-2
     # path, hyper_tools.py:250-276) against the r5 CPU-torch reference
