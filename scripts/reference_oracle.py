@@ -155,6 +155,10 @@ def config_fingerprint(args, side: str) -> dict:
     }
     if side == "ours":
         fp["ours_flags"] = list(args.ours_flags)
+        # platform is provenance: same config on CPU XLA vs TPU draws
+        # from the same OA distribution but the values differ per seed;
+        # a TPU session must not silently extend a CPU-banked partial
+        fp["ours_tpu"] = bool(getattr(args, "ours_tpu", False))
     return fp
 
 

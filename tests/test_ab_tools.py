@@ -84,6 +84,10 @@ def test_partial_ours_flags_in_fingerprint(tmp_path, oracle):
     bf16 = oracle.config_fingerprint(
         _args(ours_flags=["--compute_dtype", "bfloat16"]), "ours")
     assert f32 != bf16
+    # platform is provenance too: a TPU session must not extend a
+    # CPU-banked ours partial
+    tpu = oracle.config_fingerprint(_args(ours_tpu=True), "ours")
+    assert tpu != f32 and tpu["ours_tpu"] is True
     oracle.bank_partial(p, f32, [80.0], [], [10.0])
     with pytest.raises(RuntimeError):
         oracle.resume_partial(p, bf16, "t")
